@@ -1,0 +1,129 @@
+"""Windowed-sinc FFT filters (high-cut / low-cut) via overlap-save.
+
+Behavioral parity target: ``/root/reference/pyAudioDspTools/EffectFFTFilter.py``
+(HighCut :5-75, LowCut :78-151): a length ``block_size//2 - 1`` Blackman-windowed
+sinc FIR, zero-padded to ``3*block_size``, applied by overlap-save fast
+convolution over a 3-block sliding window, introducing exactly one block of
+latency.
+
+TPU-first design: the filter *spectrum* is a parameter built once on host in
+float64 (rfft form, complex64 on device). Streaming keeps the two previous
+blocks as explicit state; the offline path materializes all 3-block windows at
+once and runs one batched rfft/irfft over ``(..., num_blocks, 3B)`` — the whole
+render is a single fused XLA computation rather than a per-chunk Python loop.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import EngineConfig
+from .base import Effect, pytree_dataclass
+
+
+def sinc_kernel(cutoff_hz: float, sample_rate: float, filter_length: int,
+                window: str = "blackman", invert: bool = False) -> np.ndarray:
+    """Host-side windowed-sinc FIR construction, float64.
+
+    Mirrors the reference's construction order exactly (EffectFFTFilter.py:27-37,
+    spectral inversion :112-113): sinc, window, unity-gain normalize, optional
+    spectral inversion (lowpass -> highpass).
+    """
+    n = np.arange(filter_length)
+    h = np.sinc(2 * cutoff_hz / sample_rate * (n - (filter_length - 1) / 2))
+    if window == "blackman":
+        h *= np.blackman(filter_length)
+    elif window == "kaiser6":
+        h *= np.kaiser(filter_length, 6.0)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown window: {window}")
+    h /= np.sum(h)
+    if invert:
+        h = -h
+        h[(filter_length - 1) // 2] += 1
+    return h
+
+
+def overlap_save_spectrum(kernel: np.ndarray, block_size: int) -> np.ndarray:
+    """Zero-pad a FIR kernel to ``3*block_size`` and return its rfft.
+
+    Matches the reference's two-step padding to exactly 3N
+    (EffectFFTFilter.py:45-47). The reference keeps a full complex fft; the
+    rfft form is mathematically identical for the real signal path and halves
+    the spectrum bandwidth.
+    """
+    fl = len(kernel)
+    padded = np.concatenate([kernel, np.zeros(block_size - fl + 1)])
+    padded = np.concatenate([padded, np.zeros(len(padded) * 2 - 3)])
+    assert len(padded) == 3 * block_size
+    return np.fft.rfft(padded)
+
+
+@pytree_dataclass(meta_fields=("block_size", "slice_start", "slice_end"))
+class FFTFilterParams:
+    spectrum: jnp.ndarray  # complex64, (3B//2 + 1,)
+    block_size: int
+    slice_start: int
+    slice_end: int
+
+
+def _make(cfg: EngineConfig, cutoff_hz: float, invert: bool, name: str) -> Effect:
+    B = cfg.block_size
+    fl = (B // 2) - 1
+    kernel = sinc_kernel(cutoff_hz, cfg.sample_rate, fl, "blackman", invert)
+    spectrum = overlap_save_spectrum(kernel, B).astype(np.complex64)
+    params = FFTFilterParams(
+        spectrum=jnp.asarray(spectrum),
+        block_size=B,
+        # Output slice [B + fl//2 : 3B - (B - fl//2)] — EffectFFTFilter.py:24-25,73.
+        slice_start=B + fl // 2,
+        slice_end=B - fl // 2,
+    )
+    return Effect(name=name, params=params, init_state=init_state, step=step,
+                  offline=offline)
+
+
+def highcut(cfg: EngineConfig, cutoff_hz: float = 8000.0) -> Effect:
+    """Lowpass ("high cut") filter — CreateHighCutFilter parity."""
+    return _make(cfg, cutoff_hz, invert=False, name="highcut")
+
+
+def lowcut(cfg: EngineConfig, cutoff_hz: float = 160.0) -> Effect:
+    """Highpass ("low cut") filter — CreateLowCutFilter parity."""
+    return _make(cfg, cutoff_hz, invert=True, name="lowcut")
+
+
+def init_state(params: FFTFilterParams, batch_shape: tuple[int, ...] = ()):
+    """State = the two previous input blocks (EffectFFTFilter.py:40-42)."""
+    B = params.block_size
+    z = jnp.zeros(batch_shape + (B,), dtype=jnp.float32)
+    return {"prev1": z, "prev2": z}
+
+
+def _filter_window(params: FFTFilterParams, window: jnp.ndarray) -> jnp.ndarray:
+    """Overlap-save core: rfft(3B window) * H -> irfft -> latency slice."""
+    B = params.block_size
+    spec = jnp.fft.rfft(window.astype(jnp.float32), axis=-1)
+    out = jnp.fft.irfft(spec * params.spectrum, n=3 * B, axis=-1)
+    return out[..., params.slice_start : 3 * B - params.slice_end].astype(jnp.float32)
+
+
+def step(params: FFTFilterParams, state, block: jnp.ndarray):
+    """One streaming block: shift the 3-block history window and filter
+    (EffectFFTFilter.py:63-75)."""
+    window = jnp.concatenate([state["prev2"], state["prev1"], block], axis=-1)
+    out = _filter_window(params, window)
+    return {"prev1": block, "prev2": state["prev1"]}, out
+
+
+def offline(params: FFTFilterParams, blocks: jnp.ndarray) -> jnp.ndarray:
+    """Block-parallel path: every output block i depends only on input blocks
+    i-2..i, so all 3-block windows are formed at once and filtered with a
+    single batched FFT over ``(..., num_blocks, 3B)``."""
+    pad = [(0, 0)] * (blocks.ndim - 2) + [(2, 0), (0, 0)]
+    bp = jnp.pad(blocks, pad)
+    windows = jnp.concatenate(
+        [bp[..., :-2, :], bp[..., 1:-1, :], bp[..., 2:, :]], axis=-1
+    )
+    return _filter_window(params, windows)
