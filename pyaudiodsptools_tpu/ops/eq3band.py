@@ -1,0 +1,184 @@
+"""3-band EQ, biquad (time-domain) form.
+
+Parity target: ``/root/reference/pyAudioDspTools/EffectEQ3Band.py`` — RBJ
+Audio-EQ-Cookbook biquads: low shelf (:67-72), peaking mid with Q=2.5
+(:75-80), high shelf (:83-88), each applied by a direct-form-I Python sample
+loop with cross-chunk state of the last 2 outputs and last 3 inputs (:36-43).
+
+Two reference quirks replicated/handled deliberately (SURVEY.md §7):
+
+* The reference prepends THREE input samples but only TWO output samples
+  before indexing from position 2 (:107-116), so every band filters the input
+  *delayed by one sample*: ``y[n] = sum_k b_k x[n-1-k] - sum_k a_k y[n-k]``.
+  Replicated exactly (it is audible only as 1 sample of latency per band).
+* ``Fs`` is hard-coded to 44100.0 (:33); we honor ``cfg.sample_rate``.
+
+TPU-first design: the sequential IIR recurrence is reformulated as a blocked
+associative scan over affine maps ``s[n] = M s[n-1] + c[n]`` with the 2x2
+companion matrix M — log-depth on device instead of a per-sample Python loop
+(SURVEY.md §7 hard part #2). The FIR part of each band is a parallel shifted
+multiply-add; only the 2-tap feedback goes through the scan. Bands are chained
+low -> mid -> high like the reference's documented usage (ModuleTests.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import EngineConfig
+from .base import Effect, pytree_dataclass
+
+
+def rbj_lowshelf(fs: float, freq: float, gain_db: float, q: float = 1.0):
+    """RBJ low-shelf coefficients (EffectEQ3Band.py:45-51,67-72), float64."""
+    a = np.sqrt(10.0 ** (gain_db / 20.0))
+    w0 = 2 * np.pi * freq / fs
+    alpha = np.sin(w0) / 2 * np.sqrt((a + 1 / a) * (1 / q - 1) + 2)
+    cos = np.cos(w0)
+    b0 = a * ((a + 1) - (a - 1) * cos + 2 * np.sqrt(a) * alpha)
+    b1 = 2 * a * ((a - 1) - (a + 1) * cos)
+    b2 = a * ((a + 1) - (a - 1) * cos - 2 * np.sqrt(a) * alpha)
+    a0 = (a + 1) + (a - 1) * cos + 2 * np.sqrt(a) * alpha
+    a1 = -2 * ((a - 1) + (a + 1) * cos)
+    a2 = (a + 1) + (a - 1) * cos - 2 * np.sqrt(a) * alpha
+    return np.array([b0, b1, b2, a0, a1, a2])
+
+
+def rbj_peaking(fs: float, freq: float, gain_db: float, q: float = 2.5):
+    """RBJ peaking-EQ coefficients (EffectEQ3Band.py:54-58,75-80), float64."""
+    a = np.sqrt(10.0 ** (gain_db / 20.0))
+    w0 = 2 * np.pi * freq / fs
+    alpha = np.sin(w0) / (2 * q)
+    cos = np.cos(w0)
+    return np.array([1 + alpha * a, -2 * cos, 1 - alpha * a,
+                     1 + alpha / a, -2 * cos, 1 - alpha / a])
+
+
+def rbj_highshelf(fs: float, freq: float, gain_db: float, q: float = 1.0):
+    """RBJ high-shelf coefficients (EffectEQ3Band.py:61-65,83-88), float64."""
+    a = np.sqrt(10.0 ** (gain_db / 20.0))
+    w0 = 2 * np.pi * freq / fs
+    alpha = np.sin(w0) / 2 * np.sqrt((a + 1 / a) * (1 / q - 1) + 2)
+    cos = np.cos(w0)
+    b0 = a * ((a + 1) + (a - 1) * cos + 2 * np.sqrt(a) * alpha)
+    b1 = -2 * a * ((a - 1) + (a + 1) * cos)
+    b2 = a * ((a + 1) + (a - 1) * cos - 2 * np.sqrt(a) * alpha)
+    a0 = (a + 1) - (a - 1) * cos + 2 * np.sqrt(a) * alpha
+    a1 = 2 * ((a - 1) - (a + 1) * cos)
+    a2 = (a + 1) - (a - 1) * cos - 2 * np.sqrt(a) * alpha
+    return np.array([b0, b1, b2, a0, a1, a2])
+
+
+@pytree_dataclass(meta_fields=("n_bands",))
+class EQ3BandParams:
+    # Normalized coefficients per band, (n_bands, 5): b0', b1', b2', a1', a2'.
+    coeffs: jnp.ndarray
+    n_bands: int
+
+
+def eq3band(cfg: EngineConfig, low_shelf_hz: float, low_shelf_db: float,
+            mid_hz: float, mid_db: float, high_shelf_hz: float,
+            high_shelf_db: float) -> Effect:
+    fs = float(cfg.sample_rate)
+    rows = []
+    for raw in (rbj_lowshelf(fs, low_shelf_hz, low_shelf_db),
+                rbj_peaking(fs, mid_hz, mid_db),
+                rbj_highshelf(fs, high_shelf_hz, high_shelf_db)):
+        b0, b1, b2, a0, a1, a2 = raw
+        rows.append([b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0])
+    params = EQ3BandParams(coeffs=jnp.asarray(np.array(rows), dtype=jnp.float32),
+                           n_bands=3)
+    return Effect(name="eq3band", params=params, init_state=init_state,
+                  step=step, offline=offline)
+
+
+def init_state(params: EQ3BandParams, batch_shape: tuple[int, ...] = ()):
+    """Per band: last 3 raw inputs (x1 newest) and last 2 outputs (y1 newest)
+    — exactly the reference's PrevOriginalChunkSample / PrevChunkSample
+    (EffectEQ3Band.py:36-43)."""
+    nb = params.n_bands
+    z = jnp.zeros((nb,) + batch_shape, dtype=jnp.float32)
+    return {"x1": z, "x2": z, "x3": z, "y1": z, "y2": z}
+
+
+def _band(params: EQ3BandParams, band: int, st, x: jnp.ndarray):
+    """One biquad band over the last axis of ``x`` via associative scan.
+
+    Recurrence (with the reference's 1-sample input delay):
+        y[n] = b0 x[n-1] + b1 x[n-2] + b2 x[n-3] - a1 y[n-1] - a2 y[n-2]
+    """
+    b0, b1, b2, a1, a2 = (params.coeffs[band, i] for i in range(5))
+    x1, x2, x3 = st["x1"][band], st["x2"][band], st["x3"][band]
+    y1, y2 = st["y1"][band], st["y2"][band]
+
+    def shift(v, k, fills):
+        # v delayed by k samples along the last axis, head filled from state.
+        head = jnp.stack(fills, axis=-1) if k else None
+        return jnp.concatenate([head, v[..., :-k]], axis=-1) if k else v
+
+    xd1 = shift(x, 1, [x1])
+    xd2 = shift(x, 2, [x2, x1])
+    xd3 = shift(x, 3, [x3, x2, x1])
+    c = b0 * xd1 + b1 * xd2 + b2 * xd3
+
+    # Fold the initial output state into the first two forcing terms:
+    # y[0] = c[0] - a1 y[-1] - a2 y[-2]; y[1] = c[1] - a1 y[0] - a2 y[-1].
+    c = c.at[..., 0].add(-a1 * y1 - a2 * y2)
+    if c.shape[-1] > 1:
+        c = c.at[..., 1].add(-a2 * y1)
+
+    # Affine associative scan: s[n] = M s[n-1] + [c[n], 0], M = [[-a1,-a2],[1,0]].
+    # Both leaves keep the time axis at -3 so one scan axis serves the pair.
+    n = c.shape[-1]
+    m = jnp.broadcast_to(
+        jnp.array([[-a1, -a2], [1.0, 0.0]], dtype=c.dtype), c.shape[:-1] + (n, 2, 2)
+    )
+    v = jnp.stack([c, jnp.zeros_like(c)], axis=-1)[..., None]  # (..., n, 2, 1)
+
+    def compose(left, right):
+        ml, vl = left
+        mr, vr = right
+        return (mr @ ml, mr @ vl + vr)
+
+    _, ys = jax.lax.associative_scan(compose, (m, v), axis=m.ndim - 3)
+    y = ys[..., 0, 0]
+
+    new_st = (x[..., -1], x[..., -2], x[..., -3], y[..., -1], y[..., -2])
+    return new_st, y
+
+
+def _apply(params: EQ3BandParams, state, x: jnp.ndarray):
+    new_state = {k: [] for k in ("x1", "x2", "x3", "y1", "y2")}
+    for band in range(params.n_bands):
+        st, x = _band(params, band, state, x)
+        for k, v in zip(("x1", "x2", "x3", "y1", "y2"), st):
+            new_state[k].append(v)
+    state = {k: jnp.stack(v, axis=0) for k, v in new_state.items()}
+    return state, x.astype(jnp.float32)
+
+
+def step(params: EQ3BandParams, state, block: jnp.ndarray):
+    return _apply(params, state, block)
+
+
+def offline(params: EQ3BandParams, blocks: jnp.ndarray,
+            segment_samples: int = 65536) -> jnp.ndarray:
+    """Whole-signal path: associative scan within ~64k-sample segments (keeps
+    the O(n) 2x2-matrix temporaries bounded), sequential carry across
+    segments via lax.scan."""
+    shape = blocks.shape
+    nb, B = shape[-2], shape[-1]
+    group = max(1, min(nb, segment_samples // B))
+    while nb % group:
+        group -= 1
+    segs = blocks.reshape(shape[:-2] + (nb // group, group * B))
+    segs_t = jnp.moveaxis(segs, -2, 0)  # (n_seg, ..., S)
+    state = init_state(params, shape[:-2])
+
+    def body(st, seg):
+        return _apply(params, st, seg)
+
+    _, out_t = jax.lax.scan(body, state, segs_t)
+    return jnp.moveaxis(out_t, 0, -2).reshape(shape)
