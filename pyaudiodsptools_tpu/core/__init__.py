@@ -1,0 +1,3 @@
+from .config import EngineConfig
+
+__all__ = ["EngineConfig"]

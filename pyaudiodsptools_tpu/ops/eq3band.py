@@ -94,6 +94,20 @@ def eq3band(cfg: EngineConfig, low_shelf_hz: float, low_shelf_db: float,
                   step=step, offline=offline)
 
 
+def eq_band(cfg: EngineConfig, kind: str, freq: float, gain_db: float) -> Effect:
+    """A single EQ band as its own effect (the reference exposes the bands as
+    separate ``applylowband``/``applymidband``/``applyhighband`` methods,
+    EffectEQ3Band.py:90,121,152 — this supports that per-band API)."""
+    fs = float(cfg.sample_rate)
+    raw = {"low": rbj_lowshelf, "mid": rbj_peaking, "high": rbj_highshelf}[kind](
+        fs, freq, gain_db)
+    b0, b1, b2, a0, a1, a2 = raw
+    coeffs = np.array([[b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0]])
+    params = EQ3BandParams(coeffs=jnp.asarray(coeffs, dtype=jnp.float32), n_bands=1)
+    return Effect(name=f"eq_band_{kind}", params=params, init_state=init_state,
+                  step=step, offline=offline)
+
+
 def init_state(params: EQ3BandParams, batch_shape: tuple[int, ...] = ()):
     """Per band: last 3 raw inputs (x1 newest) and last 2 outputs (y1 newest)
     — exactly the reference's PrevOriginalChunkSample / PrevChunkSample
