@@ -1,0 +1,74 @@
+"""Headline benchmark: full 8-effect chain, 64 channels, samples/s per chip.
+
+Matches BASELINE.json's metric ("samples/s/chip through full 8-effect chain")
+and config 4 (8-effect serial chain, 64 parallel channels). Baseline to beat:
+the reference's measured single-core chain throughput, 0.28 Msamples/s
+(BASELINE.md, measured by running the reference's own harness configs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_S = 0.28e6  # reference 8-effect chain, 1 CPU core
+SAMPLE_RATE = 44100
+BLOCK_SIZE = 4096
+CHANNELS = 64
+SECONDS = 30.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pyaudiodsptools_tpu import EngineConfig
+    from pyaudiodsptools_tpu.core import block as blk
+    from __graft_entry__ import _chain8
+
+    cfg = EngineConfig(sample_rate=SAMPLE_RATE, block_size=BLOCK_SIZE)
+    chain = _chain8(cfg)
+
+    n = int(SECONDS * SAMPLE_RATE)
+    rng = np.random.default_rng(0)
+    sig = np.clip(rng.standard_normal((CHANNELS, n)) * 0.25, -0.99, 0.99
+                  ).astype(np.float32)
+    blocks = jax.device_put(blk.make_blocks(jnp.asarray(sig), BLOCK_SIZE))
+    total_samples = CHANNELS * blocks.shape[-2] * BLOCK_SIZE
+
+    # compile + warmup
+    chain.render_blocks(blocks).block_until_ready()
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chain.render_blocks(blocks).block_until_ready()
+        runs.append(time.perf_counter() - t0)
+    dt = min(runs)
+
+    samples_per_s = total_samples / dt
+    result = {
+        "metric": "8-effect chain throughput, 64 channels, 1 chip",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 2),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "seconds_of_audio": SECONDS,
+            "channels": CHANNELS,
+            "block_size": BLOCK_SIZE,
+            "wall_s": round(dt, 4),
+            "realtime_factor_per_chip": round(samples_per_s / SAMPLE_RATE, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,6 +7,10 @@ render is one jit-compiled program (each op's block-parallel ``offline`` path
 chained, falling back to ``lax.scan`` of its streaming step), and a streaming
 step is one jit-compiled block function with a single state pytree.
 
+Params are passed as jit *arguments* (not captured as HLO constants), so
+re-parameterizing a chain never retraces and the compiled program is shared
+across chains with the same op structure.
+
 Per-device-sequential offline processing is equivalent to the reference's
 chunk-major loop because each device's state depends only on its own input
 stream — the loop orders commute (SURVEY.md §3.2).
@@ -34,8 +38,14 @@ class Chain:
 
     def __init__(self, effects: Sequence[Effect]):
         self.effects = tuple(effects)
-        self._jit_step = jax.jit(partial(_chain_step, self.effects))
-        self._jit_render = jax.jit(partial(_chain_render, self.effects))
+        # The op structure (pure function tuples) is the static jit key; the
+        # params pytree is a runtime argument.
+        self._structure = tuple(
+            (e.init_state, e.step, e.offline) for e in self.effects
+        )
+        self.params = tuple(e.params for e in self.effects)
+        self._jit_step = jax.jit(partial(chain_step, self._structure))
+        self._jit_render = jax.jit(partial(chain_render, self._structure))
 
     def __iter__(self):
         return iter(self.effects)
@@ -49,38 +59,40 @@ class Chain:
     def step(self, state, block):
         """Process one block through the whole chain (compiled once per
         block shape)."""
-        return self._jit_step(state, block)
+        return self._jit_step(self.params, state, block)
 
     def render_blocks(self, blocks: jnp.ndarray) -> jnp.ndarray:
         """Offline: process all ``(..., num_blocks, block_size)`` blocks."""
-        return self._jit_render(blocks)
+        return self._jit_render(self.params, blocks)
 
 
-def _chain_step(effects, state, block):
+def chain_step(structure, params, state, block):
+    """Pure streaming step over an op-structure tuple; jit with ``structure``
+    bound statically (e.g. via functools.partial)."""
     new_states = []
-    for eff, st in zip(effects, state):
-        st, block = eff.step(eff.params, st, block)
+    for (init_fn, step_fn, offline_fn), p, st in zip(structure, params, state):
+        st, block = step_fn(p, st, block)
         new_states.append(st)
     return tuple(new_states), block
 
 
-def _scan_offline(eff: Effect, blocks: jnp.ndarray) -> jnp.ndarray:
-    """Fallback offline path: lax.scan of the streaming step over blocks."""
-    state = eff.init_state(eff.params, blocks.shape[:-2])
+def scan_offline(init_fn, step_fn, params, blocks: jnp.ndarray) -> jnp.ndarray:
+    """Fallback offline path: lax.scan of a streaming step over blocks."""
+    state = init_fn(params, blocks.shape[:-2])
     xs = jnp.moveaxis(blocks, -2, 0)
 
     def body(st, blk):
-        st, out = eff.step(eff.params, st, blk)
-        return st, out
+        return step_fn(params, st, blk)
 
     _, ys = jax.lax.scan(body, state, xs)
     return jnp.moveaxis(ys, 0, -2)
 
 
-def _chain_render(effects, blocks):
-    for eff in effects:
-        if eff.offline is not None:
-            blocks = eff.offline(eff.params, blocks)
+def chain_render(structure, params, blocks):
+    """Pure offline render over an op-structure tuple."""
+    for (init_fn, step_fn, offline_fn), p in zip(structure, params):
+        if offline_fn is not None:
+            blocks = offline_fn(p, blocks)
         else:
-            blocks = _scan_offline(eff, blocks)
+            blocks = scan_offline(init_fn, step_fn, p, blocks)
     return blocks

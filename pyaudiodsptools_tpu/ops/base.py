@@ -65,6 +65,11 @@ class Effect(NamedTuple):
     init_state: Callable[..., Any]
     step: Callable[[Any, Any, jax.Array], tuple[Any, jax.Array]]
     offline: Optional[Callable[[Any, jax.Array], jax.Array]] = None
+    # Whether the offline path is block-parallel along time (FIR windows,
+    # shifted adds, closed-form LFO: shardable over a 'time' mesh axis with
+    # halo exchange) or carries a sequential recurrence (scan ops: shard
+    # channels only). Drives sharding constraints in parallel.render.
+    time_parallel: bool = True
 
     def state(self, batch_shape: tuple[int, ...] = ()) -> Any:
         return self.init_state(self.params, batch_shape)

@@ -75,7 +75,7 @@ def compressor(cfg: EngineConfig, threshold_db: float = -15.0,
         y_max=y_max,
     )
     return Effect(name="compressor", params=params, init_state=init_state,
-                  step=step, offline=offline)
+                  step=step, offline=offline, time_parallel=False)
 
 
 def gate(cfg: EngineConfig, threshold_db: float = -5.0, depth: float = 0.1,
@@ -95,7 +95,7 @@ def gate(cfg: EngineConfig, threshold_db: float = -5.0, depth: float = 0.1,
         y_max=y_max,
     )
     return Effect(name="gate", params=params, init_state=init_state, step=step,
-                  offline=offline)
+                  offline=offline, time_parallel=False)
 
 
 def init_state(params: DynamicsParams, batch_shape: tuple[int, ...] = ()):

@@ -91,7 +91,7 @@ def eq3band(cfg: EngineConfig, low_shelf_hz: float, low_shelf_db: float,
     params = EQ3BandParams(coeffs=jnp.asarray(np.array(rows), dtype=jnp.float32),
                            n_bands=3)
     return Effect(name="eq3band", params=params, init_state=init_state,
-                  step=step, offline=offline)
+                  step=step, offline=offline, time_parallel=False)
 
 
 def eq_band(cfg: EngineConfig, kind: str, freq: float, gain_db: float) -> Effect:
@@ -105,7 +105,7 @@ def eq_band(cfg: EngineConfig, kind: str, freq: float, gain_db: float) -> Effect
     coeffs = np.array([[b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0]])
     params = EQ3BandParams(coeffs=jnp.asarray(coeffs, dtype=jnp.float32), n_bands=1)
     return Effect(name=f"eq_band_{kind}", params=params, init_state=init_state,
-                  step=step, offline=offline)
+                  step=step, offline=offline, time_parallel=False)
 
 
 def init_state(params: EQ3BandParams, batch_shape: tuple[int, ...] = ()):

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..core.config import EngineConfig
 from .base import Effect, pytree_dataclass
+from . import fft_filter
 from .fft_filter import overlap_save_spectrum, sinc_kernel
 
 
@@ -76,8 +77,8 @@ def init_state(params: EQ3BandFFTParams, batch_shape: tuple[int, ...] = ()):
 
 def _wet(params: EQ3BandFFTParams, window: jnp.ndarray) -> jnp.ndarray:
     B = params.block_size
-    spec = jnp.fft.rfft(window.astype(jnp.float32), axis=-1)
-    out = jnp.fft.irfft(spec * params.spectrum, n=3 * B, axis=-1)
+    out = fft_filter.batched_rfft_filter(window.astype(jnp.float32),
+                                         params.spectrum, 3 * B)
     return out[..., params.slice_start : 3 * B - params.slice_end]
 
 

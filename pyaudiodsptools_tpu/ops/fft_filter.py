@@ -101,11 +101,22 @@ def init_state(params: FFTFilterParams, batch_shape: tuple[int, ...] = ()):
     return {"prev1": z, "prev2": z}
 
 
+def batched_rfft_filter(window: jnp.ndarray, spectrum: jnp.ndarray,
+                        n: int) -> jnp.ndarray:
+    """rfft -> spectrum multiply -> irfft over the last axis, with leading axes
+    collapsed to one batch dim. The collapse keeps XLA's FFT on a dim0-major
+    layout (XLA:CPU's fft thunk rejects the transposed layouts GSPMD sometimes
+    picks for >2D sharded operands) and changes nothing numerically."""
+    shape = window.shape
+    flat = window.reshape(-1, shape[-1])
+    out = jnp.fft.irfft(jnp.fft.rfft(flat, axis=-1) * spectrum, n=n, axis=-1)
+    return out.reshape(shape[:-1] + (n,))
+
+
 def _filter_window(params: FFTFilterParams, window: jnp.ndarray) -> jnp.ndarray:
     """Overlap-save core: rfft(3B window) * H -> irfft -> latency slice."""
     B = params.block_size
-    spec = jnp.fft.rfft(window.astype(jnp.float32), axis=-1)
-    out = jnp.fft.irfft(spec * params.spectrum, n=3 * B, axis=-1)
+    out = batched_rfft_filter(window.astype(jnp.float32), params.spectrum, 3 * B)
     return out[..., params.slice_start : 3 * B - params.slice_end].astype(jnp.float32)
 
 

@@ -1,0 +1,4 @@
+from .mesh import make_mesh, single_device_mesh
+from .sharding import ShardedRenderer
+
+__all__ = ["make_mesh", "single_device_mesh", "ShardedRenderer"]

@@ -1,0 +1,82 @@
+"""Sharded chain rendering over a ('channel', 'time') mesh.
+
+Strategy (SURVEY.md §5 "long-context / sequence parallelism"):
+
+* Block-parallel ops (FFT filters, EQ3BandFFT, waveshapers, tremolo, delay,
+  reverb — ``Effect.time_parallel``) run with blocks sharded over BOTH axes:
+  ``P('channel', 'time')``. Their shifted-window/shifted-add structure needs
+  only neighbor blocks, which GSPMD lowers to collective-permute halo
+  exchanges over ICI — the framework's ring/CP equivalent.
+* Recurrent ops (compressor, gate, biquad EQ — sequential carry over time)
+  reshard to ``P('channel', None)``: channels stay distributed (pure DP), time
+  is gathered locally so the scan runs at full speed without per-sample
+  collectives. The reshard is an all-gather/all-to-all on the time axis.
+
+Equivalence with the single-device render is tested on a virtual 8-device CPU
+mesh (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import block as blk
+from ..core.config import EngineConfig
+from ..engine.chain import Chain, scan_offline
+
+
+def _render_with_constraints(structure, mesh, params, blocks):
+    full = NamedSharding(mesh, P("channel", "time", None))
+    gathered = NamedSharding(mesh, P("channel", None, None))
+    for (init_fn, step_fn, offline_fn, time_parallel), p in zip(structure, params):
+        want = full if time_parallel else gathered
+        blocks = jax.lax.with_sharding_constraint(blocks, want)
+        if offline_fn is not None:
+            blocks = offline_fn(p, blocks)
+        else:
+            blocks = scan_offline(init_fn, step_fn, p, blocks)
+    return jax.lax.with_sharding_constraint(
+        blocks, NamedSharding(mesh, P("channel", "time", None)))
+
+
+class ShardedRenderer:
+    """Compiled sharded offline renderer for a fixed chain + mesh.
+
+    >>> mesh = make_mesh(channel=4, time=2)
+    >>> r = ShardedRenderer(chain, cfg, mesh)
+    >>> out = r.render(signal)      # signal: (channels, n)
+    """
+
+    def __init__(self, chain: Chain, cfg: EngineConfig, mesh: Mesh):
+        self.chain = chain
+        self.cfg = cfg
+        self.mesh = mesh
+        self._structure = tuple(
+            (e.init_state, e.step, e.offline, e.time_parallel)
+            for e in chain.effects
+        )
+        self._in_sharding = NamedSharding(mesh, P("channel", "time", None))
+        self._fn = jax.jit(partial(_render_with_constraints, self._structure, mesh))
+
+    def render_blocks(self, blocks: jnp.ndarray) -> jnp.ndarray:
+        """blocks: (channels, num_blocks, block_size); channels % mesh
+        channel-axis == 0 and num_blocks % mesh time-axis == 0."""
+        blocks = jax.device_put(blocks, self._in_sharding)
+        return self._fn(self.chain.params, blocks)
+
+    def render(self, signal) -> jnp.ndarray:
+        signal = jnp.asarray(signal)
+        if signal.ndim != 2:
+            raise ValueError("sharded render expects (channels, n) audio")
+        nb_pad = self.mesh.shape["time"] * self.cfg.block_size
+        n = signal.shape[-1]
+        pad = (-n) % nb_pad
+        if pad:
+            signal = jnp.pad(signal, ((0, 0), (0, pad)))
+        blocks = blk.make_blocks(signal, self.cfg.block_size)
+        out = self.render_blocks(blocks)
+        return blk.combine_blocks(out)
