@@ -42,14 +42,23 @@ def main() -> None:
     blocks = jax.device_put(blk.make_blocks(jnp.asarray(sig), BLOCK_SIZE))
     total_samples = CHANNELS * blocks.shape[-2] * BLOCK_SIZE
 
-    # compile + warmup
-    chain.render_blocks(blocks).block_until_ready()
+    # Checksum readback forces real completion: on the tunneled TPU backend
+    # the first block_until_ready of a program can return before execution.
+    checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
+
+    # compile + warmup (render and checksum programs)
+    for _ in range(2):
+        out = chain.render_blocks(blocks)
+        peak = float(checksum(out))
+    assert np.isfinite(peak) and peak > 0, f"bad output (peak={peak})"
 
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        chain.render_blocks(blocks).block_until_ready()
+        out = chain.render_blocks(blocks)
+        out.block_until_ready()
         runs.append(time.perf_counter() - t0)
+        assert np.isfinite(float(checksum(out)))
     dt = min(runs)
 
     samples_per_s = total_samples / dt
