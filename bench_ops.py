@@ -1,0 +1,93 @@
+"""Per-op timing harness — the reference's ModuleTests.py timing pattern,
+TPU-native: every effect timed over 60 s of generated audio, reporting
+ms/block and realtime factor (the reference prints the same numbers per
+device, ModuleTests.py:96-214).
+
+Usage:  python bench_ops.py [--channels C] [--seconds S] [--block B]
+Runs on whatever JAX platform is active (TPU under the driver; set
+JAX_PLATFORMS=cpu to compare against the reference's CPU numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, default=1)
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyaudiodsptools_tpu import EngineConfig, ops
+    from pyaudiodsptools_tpu.core import block as blk
+
+    cfg = EngineConfig(sample_rate=44100, block_size=args.block)
+    n = int(args.seconds * cfg.sample_rate)
+    rng = np.random.default_rng(0)
+    shape = (args.channels, n) if args.channels > 1 else (n,)
+    sig = np.clip(rng.standard_normal(shape) * 0.3, -0.99, 0.99).astype(np.float32)
+    blocks = jax.device_put(blk.make_blocks(jnp.asarray(sig), cfg.block_size))
+    nb = blocks.shape[-2]
+
+    effects = {
+        "saturator": ops.saturator(cfg),
+        "compressor": ops.compressor(cfg),
+        "delay": ops.delay(cfg, 500, 2),
+        "tremolo": ops.tremolo(cfg),
+        "harddistortion": ops.harddistortion(cfg),
+        "gate": ops.gate(cfg),
+        "lowcut": ops.lowcut(cfg, 160),
+        "highcut": ops.highcut(cfg, 8000),
+        "eq3band_fft": ops.eq3band_fft(cfg, 200, 3.0, 1000, -2.0, 8000, 2.0),
+        "eq3band_biquad": ops.eq3band(cfg, 200, 3.0, 1000, -2.0, 8000, 2.0),
+        "softclipper": ops.softclipper(cfg),
+        "bitcrusher": ops.bitcrusher(cfg),
+        "reverb": ops.reverb(cfg, 1500),
+    }
+
+    checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
+    results = {}
+    budget_ms = cfg.block_duration_ms
+    for name, eff in effects.items():
+        fn = jax.jit(eff.offline)
+        out = fn(eff.params, blocks)
+        float(checksum(out))  # force compile + completion
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(eff.params, blocks)
+            out.block_until_ready()
+            times.append(time.perf_counter() - t0)
+            assert np.isfinite(float(checksum(out)))
+        dt = min(times)
+        ms_per_block = 1000.0 * dt / nb
+        total_samples = sig.size
+        rt = (total_samples / cfg.sample_rate) / dt
+        results[name] = {
+            "ms_per_block": round(ms_per_block, 5),
+            "realtime_factor": round(rt, 1),
+            "samples_per_s": round(total_samples / dt, 1),
+        }
+        if not args.json:
+            print(f"{name:16s} {ms_per_block:10.5f} ms/block "
+                  f"(budget {budget_ms:.2f})  {rt:12.1f}x realtime")
+
+    if args.json:
+        print(json.dumps({"device": str(jax.devices()[0]),
+                          "channels": args.channels,
+                          "block_size": args.block,
+                          "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,13 +16,13 @@ Layers:
 """
 
 from .core.config import EngineConfig
-from .core import block, generators, utility, wavio
+from .core import block, generators, metering, utility, wavio
 from . import ops
 from .engine import Chain, StreamProcessor, render, render_file
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "EngineConfig", "block", "generators", "utility", "wavio", "ops",
-    "Chain", "StreamProcessor", "render", "render_file",
+    "EngineConfig", "block", "generators", "metering", "utility", "wavio",
+    "ops", "Chain", "StreamProcessor", "render", "render_file",
 ]
