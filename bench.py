@@ -29,18 +29,31 @@ def main() -> None:
     import jax.numpy as jnp
 
     from pyaudiodsptools_tpu import EngineConfig
-    from pyaudiodsptools_tpu.core import block as blk
     from __graft_entry__ import _chain8
 
     cfg = EngineConfig(sample_rate=SAMPLE_RATE, block_size=BLOCK_SIZE)
     chain = _chain8(cfg)
 
+    # Generate the test signal ON DEVICE: production audio is device-resident
+    # after a single load, and the tunneled dev TPU cannot stream hundreds of
+    # MB host->device. Band-limited-ish noise with bursts exercises every
+    # automaton mode of the dynamics ops.
     n = int(SECONDS * SAMPLE_RATE)
-    rng = np.random.default_rng(0)
-    sig = np.clip(rng.standard_normal((CHANNELS, n)) * 0.25, -0.99, 0.99
-                  ).astype(np.float32)
-    blocks = jax.device_put(blk.make_blocks(jnp.asarray(sig), BLOCK_SIZE))
-    total_samples = CHANNELS * blocks.shape[-2] * BLOCK_SIZE
+    nb = -(-n // BLOCK_SIZE)
+
+    @jax.jit
+    def gen(key):
+        noise = 0.25 * jax.random.normal(key, (CHANNELS, nb * BLOCK_SIZE),
+                                         dtype=jnp.float32)
+        t = jnp.arange(nb * BLOCK_SIZE, dtype=jnp.float32)
+        burst = (jnp.sin(2 * jnp.pi * t / (SAMPLE_RATE // 3)) > 0.6).astype(
+            jnp.float32) * 0.5 + 0.3
+        sig = jnp.clip(noise * burst, -0.99, 0.99)
+        return sig.reshape(CHANNELS, nb, BLOCK_SIZE)
+
+    blocks = gen(jax.random.key(0))
+    blocks.block_until_ready()
+    total_samples = CHANNELS * nb * BLOCK_SIZE
 
     # Checksum readback forces real completion: on the tunneled TPU backend
     # the first block_until_ready of a program can return before execution.

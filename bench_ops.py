@@ -29,15 +29,18 @@ def main() -> None:
     import jax.numpy as jnp
 
     from pyaudiodsptools_tpu import EngineConfig, ops
-    from pyaudiodsptools_tpu.core import block as blk
 
     cfg = EngineConfig(sample_rate=44100, block_size=args.block)
     n = int(args.seconds * cfg.sample_rate)
-    rng = np.random.default_rng(0)
-    shape = (args.channels, n) if args.channels > 1 else (n,)
-    sig = np.clip(rng.standard_normal(shape) * 0.3, -0.99, 0.99).astype(np.float32)
-    blocks = jax.device_put(blk.make_blocks(jnp.asarray(sig), cfg.block_size))
-    nb = blocks.shape[-2]
+    nb = -(-n // cfg.block_size)
+    lead = (args.channels,) if args.channels > 1 else ()
+    # generate on device (the tunneled dev TPU cannot stream large host buffers)
+    key = jax.random.key(0)
+    blocks = jax.jit(lambda k: jnp.clip(
+        0.3 * jax.random.normal(k, lead + (nb, cfg.block_size), jnp.float32),
+        -0.99, 0.99))(key)
+    blocks.block_until_ready()
+    total = blocks.size
 
     effects = {
         "saturator": ops.saturator(cfg),
@@ -71,7 +74,7 @@ def main() -> None:
             assert np.isfinite(float(checksum(out)))
         dt = min(times)
         ms_per_block = 1000.0 * dt / nb
-        total_samples = sig.size
+        total_samples = total
         rt = (total_samples / cfg.sample_rate) / dt
         results[name] = {
             "ms_per_block": round(ms_per_block, 5),
