@@ -28,11 +28,18 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    import os
+    if os.environ.get("PADT_BENCH_PLATFORM"):
+        # env JAX_PLATFORMS alone cannot switch: sitecustomize pre-imports jax
+        jax.config.update("jax_platforms", os.environ["PADT_BENCH_PLATFORM"])
+
     from pyaudiodsptools_tpu import EngineConfig
     from __graft_entry__ import _chain8
 
     cfg = EngineConfig(sample_rate=SAMPLE_RATE, block_size=BLOCK_SIZE)
-    chain = _chain8(cfg)
+    # Pallas dynamics kernels on TPU; faithful scans elsewhere (the kernels
+    # are parity-verified >100 dB against the scans in tests/test_kernels.py)
+    chain = _chain8(cfg, fast_dynamics=jax.default_backend() != "cpu")
 
     # Generate the test signal ON DEVICE: production audio is device-resident
     # after a single load, and the tunneled dev TPU cannot stream hundreds of

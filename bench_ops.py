@@ -28,6 +28,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    import os
+    if os.environ.get("PADT_BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PADT_BENCH_PLATFORM"])
+
     from pyaudiodsptools_tpu import EngineConfig, ops
 
     cfg = EngineConfig(sample_rate=44100, block_size=args.block)

@@ -35,7 +35,8 @@ LANES = 128
 
 def _automaton_rows(scalars, mode, x, y, skip, row):
     """One sample across all channel lanes; mirrors ops/dynamics.py
-    _automaton_step with arithmetic ramp evaluation."""
+    _automaton_step with arithmetic ramp evaluation. ``scalars`` are traced
+    jnp scalars (read from SMEM inside the kernel)."""
     thr, pre_gain, ratio_gain, att_step, rel_step, x_max, y_max = scalars
     over = jnp.abs(row) > thr
 
@@ -56,7 +57,7 @@ def _automaton_rows(scalars, mode, x, y, skip, row):
 
     live = jnp.logical_not(skip_b)
     trig = is_rest & over & live
-    n_mode = jnp.where(trig, HOLD if x_max == 1 else ATTACK, mode)
+    n_mode = jnp.where(trig, jnp.where(x_max == 1, HOLD, ATTACK), mode)
     n_x = jnp.where(trig, 1, x)
 
     adv = is_att & live
@@ -85,8 +86,18 @@ def _automaton_rows(scalars, mode, x, y, skip, row):
     return n_mode, n_x, n_y, n_skip, out_row
 
 
-def _kernel(scalars, t_tile, x_ref, m0, x0, y0, s0,
+def _kernel(t_tile, fscal_ref, iscal_ref, x_ref, m0, x0, y0, s0,
             out_ref, mf, xf, yf, sf, mode_s, xs_s, ys_s, skip_s):
+    scalars = (
+        fscal_ref[0, 0],  # threshold
+        fscal_ref[0, 1],  # pre_gain
+        fscal_ref[0, 2],  # ratio_gain (attack_env[-1], exact f32)
+        fscal_ref[0, 3],  # attack ramp step
+        fscal_ref[0, 4],  # release ramp step
+        iscal_ref[0, 0],  # x_max
+        iscal_ref[0, 1],  # y_max
+    )
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
         mode_s[:] = m0[:]
@@ -136,24 +147,26 @@ def dynamics_pallas(params: DynamicsParams, state, x: jnp.ndarray,
     y0 = prep(state["y"])
     s0 = prep(state["skip"])
 
-    scalars = (
-        float(params.threshold),
-        float(params.pre_gain),
-        float(np.asarray(params.attack_env)[-1]),         # exact f32 plateau
-        float((np.float64(np.asarray(params.attack_env)[-1]) - 1.0)
-              / max(params.x_max - 1, 1)),
-        float((1.0 - np.float64(np.asarray(params.attack_env)[-1]))
-              / max(params.y_max - 1, 1)),
-        int(params.x_max),
-        int(params.y_max),
-    )
+    # Scalar operands (SMEM): params may be jit-traced, so scalars travel as
+    # data, not trace-time constants.
+    ratio_gain = params.attack_env[-1]
+    fscal = jnp.stack([
+        params.threshold.astype(jnp.float32),
+        params.pre_gain.astype(jnp.float32),
+        ratio_gain,
+        (ratio_gain - 1.0) / max(params.x_max - 1, 1),
+        (1.0 - ratio_gain) / max(params.y_max - 1, 1),
+    ]).reshape(1, 5)
+    iscal = jnp.array([[params.x_max, params.y_max]], dtype=jnp.int32)
 
     grid = (Tp // t_tile,)
     row_spec = pl.BlockSpec((1, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out, mf, xf, yf, sf = pl.pallas_call(
-        partial(_kernel, scalars, t_tile),
+        partial(_kernel, t_tile),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((t_tile, Cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec, row_spec,
         ],
@@ -175,7 +188,7 @@ def dynamics_pallas(params: DynamicsParams, state, x: jnp.ndarray,
             pltpu.VMEM((1, Cp), jnp.int32),
         ],
         interpret=interpret,
-    )(xt, m0, x0, y0, s0)
+    )(fscal, iscal, xt, m0, x0, y0, s0)
 
     out = out.T[:C, :T]
     new_state = {
