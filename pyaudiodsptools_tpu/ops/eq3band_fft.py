@@ -26,13 +26,16 @@ from . import fft_filter
 from .fft_filter import overlap_save_spectrum, sinc_kernel
 
 
-@pytree_dataclass(meta_fields=("block_size", "slice_start", "slice_end"))
+@pytree_dataclass(meta_fields=("block_size", "slice_start", "slice_end",
+                               "shift"))
 class EQ3BandFFTParams:
     # Combined wet spectrum: sum over bands of (gain-1) * band spectrum.
-    spectrum: jnp.ndarray  # complex64, (3B//2 + 1,)
+    spectrum: jnp.ndarray      # complex64, (3B//2 + 1,) — streaming form
+    spectrum_seg: jnp.ndarray  # complex64 — segmented offline form
     block_size: int
     slice_start: int
     slice_end: int
+    shift: int
 
 
 def eq3band_fft(cfg: EngineConfig, lowshelf_hz: float, lowshelf_db: float,
@@ -51,19 +54,31 @@ def eq3band_fft(cfg: EngineConfig, lowshelf_hz: float, lowshelf_db: float,
 
     H_hi = overlap_save_spectrum(h_highshelf, B)
     H_lo = overlap_save_spectrum(h_lowshelf, B)
-    # Mid band is the spectral product of its low/high pass (EffectEQ3BandFFT.py:188).
+    # Mid band is the spectral product of its low/high pass (EffectEQ3BandFFT.py:188)
+    # — a linear convolution in time (supports sum to 2fl-1 < B, wrap-free).
     H_mid = overlap_save_spectrum(h_mid_lp, B) * overlap_save_spectrum(h_mid_hp, B)
+    k_mid = np.convolve(h_mid_lp, h_mid_hp)
 
     def g(db: float) -> float:
         return 10.0 ** (db / 20.0) - 1.0
 
     combined = g(highshelf_db) * H_hi + g(lowshelf_db) * H_lo + g(mid_db) * H_mid
+    k_combined = (g(highshelf_db) * np.concatenate([h_highshelf,
+                                                    np.zeros(fl - 1)])
+                  + g(lowshelf_db) * np.concatenate([h_lowshelf,
+                                                     np.zeros(fl - 1)])
+                  + g(mid_db) * k_mid)
 
+    seg_len = (fft_filter.SEGMENT_BLOCKS + 1) * B
+    seg = np.fft.rfft(np.concatenate([k_combined,
+                                      np.zeros(seg_len - len(k_combined))]))
     params = EQ3BandFFTParams(
         spectrum=jnp.asarray(combined.astype(np.complex64)),
+        spectrum_seg=jnp.asarray(seg.astype(np.complex64)),
         block_size=B,
         slice_start=B + fl // 2,
         slice_end=B - fl // 2,
+        shift=B - fl // 2,
     )
     return Effect(name="eq3band_fft", params=params, init_state=init_state,
                   step=step, offline=offline)
@@ -91,10 +106,11 @@ def step(params: EQ3BandFFTParams, state, block: jnp.ndarray):
 
 
 def offline(params: EQ3BandFFTParams, blocks: jnp.ndarray) -> jnp.ndarray:
-    pad = [(0, 0)] * (blocks.ndim - 2) + [(2, 0), (0, 0)]
-    bp = jnp.pad(blocks, pad)
-    windows = jnp.concatenate(
-        [bp[..., :-2, :], bp[..., 1:-1, :], bp[..., 2:, :]], axis=-1
-    )
-    dry = bp[..., 1:-1, :]
-    return (_wet(params, windows) + dry).astype(jnp.float32)
+    """Segmented fast convolution for the wet path + a 1-block-delayed dry
+    path (the reference's latency-aligned dry mix, EffectEQ3BandFFT.py:209)."""
+    B = params.block_size
+    wet = fft_filter.segmented_fft_conv(params.spectrum_seg, blocks,
+                                        params.shift, B)
+    pad = [(0, 0)] * (blocks.ndim - 2) + [(1, 0), (0, 0)]
+    dry = jnp.pad(blocks, pad)[..., :-1, :]
+    return (wet + dry).astype(jnp.float32)
