@@ -32,9 +32,9 @@ def make_mesh(channel: int | None = None, time: int = 1,
     n = len(devices)
     if channel is None:
         channel = n // time
-    if channel * time != n:
-        raise ValueError(f"mesh {channel}x{time} != {n} devices")
-    arr = np.asarray(devices).reshape(channel, time)
+    if channel * time > n:
+        raise ValueError(f"mesh {channel}x{time} needs more than {n} devices")
+    arr = np.asarray(devices[: channel * time]).reshape(channel, time)
     return Mesh(arr, axis_names=("channel", "time"))
 
 

@@ -1,0 +1,36 @@
+"""Time-sharded biquad scan vs the single-device implementation."""
+
+import jax
+import numpy as np
+import pytest
+
+from pyaudiodsptools_tpu import EngineConfig
+from pyaudiodsptools_tpu.core import block as blk
+from pyaudiodsptools_tpu.ops.eq3band import eq3band
+from pyaudiodsptools_tpu.parallel import make_mesh
+from pyaudiodsptools_tpu.parallel.timescan import eq3band_offline_sharded
+
+from ref_loader import snr_db
+
+
+@pytest.mark.parametrize("time_shards", [2, 4, 8])
+def test_sharded_biquad_equals_single(time_shards):
+    if len(jax.devices()) < time_shards:
+        pytest.skip("needs virtual devices")
+    cfg = EngineConfig(44100, 512)
+    eff = eq3band(cfg, 200.0, 3.0, 1000.0, -2.0, 8000.0, 2.0)
+
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    sig = (rng.standard_normal((2, 512 * 16)) * 0.4).astype(np.float32)
+    blocks = blk.make_blocks(jnp.asarray(sig), 512)
+
+    golden = np.asarray(eff.offline(eff.params, blocks))
+
+    mesh = make_mesh(channel=1, time=time_shards)
+    out = np.asarray(eq3band_offline_sharded(eff.params, blocks, mesh))
+    # Both paths sit at the float32-IIR accuracy floor (~68 dB vs a float64
+    # sequential recursion — measured; the sharded result is as accurate as
+    # the single-device one, just differently associated).
+    assert snr_db(golden, out) > 60.0
