@@ -29,9 +29,10 @@ from .fft_filter import overlap_save_spectrum, sinc_kernel
 @pytree_dataclass(meta_fields=("block_size", "slice_start", "slice_end",
                                "shift"))
 class EQ3BandFFTParams:
-    # Combined wet spectrum: sum over bands of (gain-1) * band spectrum.
-    spectrum: jnp.ndarray      # complex64, (3B//2 + 1,) — streaming form
-    spectrum_seg: jnp.ndarray  # complex64 — segmented offline form
+    # Combined wet spectrum: sum over bands of (gain-1) * band spectrum,
+    # packed as (2, n) float32 real/imag (fft_filter.pack_spectrum).
+    spectrum: jnp.ndarray      # (2, 3B//2 + 1) — streaming form
+    spectrum_seg: jnp.ndarray  # (2, (G+1)B//2 + 1) — segmented offline form
     block_size: int
     slice_start: int
     slice_end: int
@@ -73,8 +74,8 @@ def eq3band_fft(cfg: EngineConfig, lowshelf_hz: float, lowshelf_db: float,
     seg = np.fft.rfft(np.concatenate([k_combined,
                                       np.zeros(seg_len - len(k_combined))]))
     params = EQ3BandFFTParams(
-        spectrum=jnp.asarray(combined.astype(np.complex64)),
-        spectrum_seg=jnp.asarray(seg.astype(np.complex64)),
+        spectrum=fft_filter.pack_spectrum(combined),
+        spectrum_seg=fft_filter.pack_spectrum(seg),
         block_size=B,
         slice_start=B + fl // 2,
         slice_end=B - fl // 2,

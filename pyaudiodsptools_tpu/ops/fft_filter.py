@@ -15,6 +15,7 @@ render is a single fused XLA computation rather than a per-chunk Python loop.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,11 +67,27 @@ def overlap_save_spectrum(kernel: np.ndarray, block_size: int) -> np.ndarray:
 SEGMENT_BLOCKS = 7
 
 
+def pack_spectrum(spec: np.ndarray) -> jnp.ndarray:
+    """Complex spectrum -> stacked (2, n) float32 [real; imag].
+
+    Spectra travel to the device as float pairs and become complex on device
+    (``unpack_spectrum``): complex64 host->device transfers are not supported
+    on all backends (the tunneled dev TPU rejects them), and float pairs cost
+    the same bytes.
+    """
+    return jnp.asarray(
+        np.stack([spec.real, spec.imag]).astype(np.float32))
+
+
+def unpack_spectrum(packed: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.complex(packed[0], packed[1])
+
+
 @pytree_dataclass(meta_fields=("block_size", "slice_start", "slice_end",
                                "shift"))
 class FFTFilterParams:
-    spectrum: jnp.ndarray      # complex64, (3B//2 + 1,) — streaming window form
-    spectrum_seg: jnp.ndarray  # complex64, ((G+1)B//2 + 1,) — offline segments
+    spectrum: jnp.ndarray      # (2, 3B//2 + 1) f32 — streaming window form
+    spectrum_seg: jnp.ndarray  # (2, (G+1)B//2 + 1) f32 — offline segments
     block_size: int
     slice_start: int
     slice_end: int
@@ -81,8 +98,8 @@ def _filter_params(kernel: np.ndarray, B: int, fl: int) -> FFTFilterParams:
     seg_len = (SEGMENT_BLOCKS + 1) * B
     seg = np.fft.rfft(np.concatenate([kernel, np.zeros(seg_len - len(kernel))]))
     return FFTFilterParams(
-        spectrum=jnp.asarray(overlap_save_spectrum(kernel, B).astype(np.complex64)),
-        spectrum_seg=jnp.asarray(seg.astype(np.complex64)),
+        spectrum=pack_spectrum(overlap_save_spectrum(kernel, B)),
+        spectrum_seg=pack_spectrum(seg),
         block_size=B,
         # Output slice [B + fl//2 : 3B - (B - fl//2)] — EffectFFTFilter.py:24-25,73.
         slice_start=B + fl // 2,
@@ -122,10 +139,13 @@ def batched_rfft_filter(window: jnp.ndarray, spectrum: jnp.ndarray,
     """rfft -> spectrum multiply -> irfft over the last axis, with leading axes
     collapsed to one batch dim. The collapse keeps XLA's FFT on a dim0-major
     layout (XLA:CPU's fft thunk rejects the transposed layouts GSPMD sometimes
-    picks for >2D sharded operands) and changes nothing numerically."""
+    picks for >2D sharded operands) and changes nothing numerically.
+
+    ``spectrum`` is the packed (2, n//2+1) real/imag form (pack_spectrum)."""
     shape = window.shape
     flat = window.reshape(-1, shape[-1])
-    out = jnp.fft.irfft(jnp.fft.rfft(flat, axis=-1) * spectrum, n=n, axis=-1)
+    h = unpack_spectrum(spectrum)
+    out = jnp.fft.irfft(jnp.fft.rfft(flat, axis=-1) * h, n=n, axis=-1)
     return out.reshape(shape[:-1] + (n,))
 
 
