@@ -27,12 +27,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import block as blk
 from ..core.config import EngineConfig
 from ..engine.chain import Chain, scan_offline
+from ..ops.eq3band import offline as _eq3band_offline
 
 
 def _render_with_constraints(structure, mesh, params, blocks):
     full = NamedSharding(mesh, P("channel", "time", None))
     gathered = NamedSharding(mesh, P("channel", None, None))
+    time_sharded = mesh.shape["time"] > 1
     for (init_fn, step_fn, offline_fn, time_parallel), p in zip(structure, params):
+        if (time_sharded and offline_fn is _eq3band_offline
+                and blocks.ndim == 3):
+            # Linear recurrences stay time-sharded via the blocked two-level
+            # scan (parallel/timescan.py) instead of gathering time locally.
+            from .timescan import eq3band_offline_sharded
+
+            blocks = jax.lax.with_sharding_constraint(blocks, full)
+            blocks = eq3band_offline_sharded(p, blocks, mesh)
+            continue
         want = full if time_parallel else gathered
         blocks = jax.lax.with_sharding_constraint(blocks, want)
         if offline_fn is not None:
