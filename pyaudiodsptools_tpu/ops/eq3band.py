@@ -29,6 +29,7 @@ import numpy as np
 
 from ..core.config import EngineConfig
 from .base import Effect, pytree_dataclass
+from . import fft_filter
 
 
 def rbj_lowshelf(fs: float, freq: float, gain_db: float, q: float = 1.0):
@@ -71,11 +72,86 @@ def rbj_highshelf(fs: float, freq: float, gain_db: float, q: float = 1.0):
     return np.array([b0, b1, b2, a0, a1, a2])
 
 
-@pytree_dataclass(meta_fields=("n_bands",))
+@pytree_dataclass(meta_fields=("n_bands", "use_fir", "halo_blocks",
+                               "seg_blocks", "block_size"))
 class EQ3BandParams:
     # Normalized coefficients per band, (n_bands, 5): b0', b1', b2', a1', a2'.
     coeffs: jnp.ndarray
+    # FIR-ized offline path: the cascade's impulse response truncated at
+    # -180 dB (None when the cascade did not decay within the cap).
+    spectrum_fir: jnp.ndarray | None
     n_bands: int
+    use_fir: bool
+    halo_blocks: int
+    seg_blocks: int
+    block_size: int
+
+
+_FIR_CAP = 1 << 18          # max impulse-response length considered
+_FIR_TRUNC = 1e-9           # truncate below this fraction of the peak
+
+
+def _impulse_response(rows: np.ndarray) -> np.ndarray | None:
+    """float64 impulse response of the delayed-input biquad cascade,
+    truncated at the -180 dB tail; None if it has not decayed within the cap
+    (marginally stable / boosted-pole settings fall back to the exact scan).
+
+    Grows the simulated length adaptively; each band applies the reference's
+    1-sample input delay (EffectEQ3Band.py:107-116 insert-3/insert-2 quirk).
+    """
+    try:
+        from scipy.signal import lfilter
+    except ImportError:  # pragma: no cover
+        lfilter = None
+
+    T = 1 << 13
+    while T <= _FIR_CAP:
+        h = np.zeros(T)
+        h[0] = 1.0
+        for b0, b1, b2, a1, a2 in rows:
+            x = np.concatenate([[0.0], h[:-1]])  # the 1-sample input delay
+            if lfilter is not None:
+                h = lfilter([b0, b1, b2], [1.0, a1, a2], x)
+            else:  # pragma: no cover - slow pure-python fallback
+                y = np.zeros_like(x)
+                y1 = y2 = 0.0
+                for n in range(len(x)):
+                    xv2 = x[n - 2] if n >= 2 else 0.0
+                    xv1 = x[n - 1] if n >= 1 else 0.0
+                    v = b0 * x[n] + b1 * xv1 + b2 * xv2 - a1 * y1 - a2 * y2
+                    y2, y1 = y1, v
+                    y[n] = v
+                h = y
+        peak = np.abs(h).max()
+        if peak == 0:
+            return None
+        if np.abs(h[-(T // 16):]).max() <= _FIR_TRUNC * peak:
+            keep = np.nonzero(np.abs(h) > _FIR_TRUNC * peak)[0]
+            return h[: int(keep[-1]) + 1]
+        T *= 2
+    return None
+
+
+def _build(cfg: EngineConfig, rows: list, name: str) -> Effect:
+    rows = np.array(rows)
+    h = _impulse_response(rows)
+    if h is not None:
+        spec, halo, seg = fft_filter.pack_segmented_kernel(h, cfg.block_size)
+    params = EQ3BandParams(
+        coeffs=jnp.asarray(rows, dtype=jnp.float32),
+        spectrum_fir=spec if h is not None else None,
+        n_bands=len(rows),
+        use_fir=h is not None,
+        halo_blocks=halo if h is not None else 1,
+        seg_blocks=seg if h is not None else 7,
+        block_size=cfg.block_size,
+    )
+    # Decayed cascade: offline = one segmented FFT convolution (parity with
+    # the recursion to the -180 dB truncation level, and time-shardable).
+    # Undecayed: exact associative-scan path, channel-sharded only.
+    off = offline_fir if h is not None else offline
+    return Effect(name=name, params=params, init_state=init_state,
+                  step=step, offline=off, time_parallel=h is not None)
 
 
 def eq3band(cfg: EngineConfig, low_shelf_hz: float, low_shelf_db: float,
@@ -88,10 +164,7 @@ def eq3band(cfg: EngineConfig, low_shelf_hz: float, low_shelf_db: float,
                 rbj_highshelf(fs, high_shelf_hz, high_shelf_db)):
         b0, b1, b2, a0, a1, a2 = raw
         rows.append([b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0])
-    params = EQ3BandParams(coeffs=jnp.asarray(np.array(rows), dtype=jnp.float32),
-                           n_bands=3)
-    return Effect(name="eq3band", params=params, init_state=init_state,
-                  step=step, offline=offline, time_parallel=False)
+    return _build(cfg, rows, "eq3band")
 
 
 def eq_band(cfg: EngineConfig, kind: str, freq: float, gain_db: float) -> Effect:
@@ -102,10 +175,8 @@ def eq_band(cfg: EngineConfig, kind: str, freq: float, gain_db: float) -> Effect
     raw = {"low": rbj_lowshelf, "mid": rbj_peaking, "high": rbj_highshelf}[kind](
         fs, freq, gain_db)
     b0, b1, b2, a0, a1, a2 = raw
-    coeffs = np.array([[b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0]])
-    params = EQ3BandParams(coeffs=jnp.asarray(coeffs, dtype=jnp.float32), n_bands=1)
-    return Effect(name=f"eq_band_{kind}", params=params, init_state=init_state,
-                  step=step, offline=offline, time_parallel=False)
+    return _build(cfg, [[b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0]],
+                  f"eq_band_{kind}")
 
 
 def init_state(params: EQ3BandParams, batch_shape: tuple[int, ...] = ()):
@@ -175,6 +246,14 @@ def _apply(params: EQ3BandParams, state, x: jnp.ndarray):
 
 def step(params: EQ3BandParams, state, block: jnp.ndarray):
     return _apply(params, state, block)
+
+
+def offline_fir(params: EQ3BandParams, blocks: jnp.ndarray) -> jnp.ndarray:
+    """FIR-ized whole-signal path: segmented FFT convolution with the
+    truncated cascade impulse response."""
+    return fft_filter.segmented_fft_conv(
+        params.spectrum_fir, blocks, 0, params.block_size,
+        params.halo_blocks, params.seg_blocks)
 
 
 def offline(params: EQ3BandParams, blocks: jnp.ndarray,

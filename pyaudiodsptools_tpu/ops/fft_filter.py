@@ -164,33 +164,59 @@ def step(params: FFTFilterParams, state, block: jnp.ndarray):
     return {"prev1": block, "prev2": state["prev1"]}, out
 
 
+def plan_segments(kernel_len: int, block_size: int) -> tuple[int, int]:
+    """(halo_blocks, seg_blocks) for a kernel of this length: halo covers the
+    kernel, window = halo + seg is a power-of-two block count >= 8."""
+    halo = max(1, -(-(kernel_len - 1) // block_size))
+    total = 8
+    while total < 2 * halo:
+        total *= 2
+    return halo, total - halo
+
+
+def pack_segmented_kernel(kernel: np.ndarray, block_size: int
+                          ) -> tuple[jnp.ndarray, int, int]:
+    """Kernel -> (packed segment spectrum, halo_blocks, seg_blocks)."""
+    halo, seg = plan_segments(len(kernel), block_size)
+    seg_len = (halo + seg) * block_size
+    spec = np.fft.rfft(np.concatenate([kernel,
+                                       np.zeros(seg_len - len(kernel))]))
+    return pack_spectrum(spec), halo, seg
+
+
 def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
-                       shift: int, block_size: int) -> jnp.ndarray:
+                       shift: int, block_size: int, halo_blocks: int = 1,
+                       seg_blocks: int = SEGMENT_BLOCKS) -> jnp.ndarray:
     """Linear convolution + output delay via large-segment overlap-save.
 
     The reference's per-block scheme FFTs every block three times (3B window
     per block). Its output slice is wrap-free, so ``out[m] = y[m - shift]``
     with ``y = conv(x, h)`` — any linear-convolution partitioning matches
-    bit-for-float. Here: G=7 output blocks per 8B-point FFT window with a
-    1-block left halo (covers any kernel shorter than B), ~2.5x fewer FFT
-    FLOPs and no 3x window materialization.
+    bit-for-float. Here: ``seg_blocks`` output blocks per
+    ``(halo_blocks + seg_blocks) * B``-point FFT window with a left halo
+    covering the kernel; far fewer FFT FLOPs and no 3x window
+    materialization. Also serves long kernels (reverb tap trains, FIR-ized
+    IIR responses) with proportionally larger windows.
     """
     B = block_size
-    G = SEGMENT_BLOCKS
+    G = seg_blocks
+    H = halo_blocks
     lead = blocks.shape[:-2]
     nb = blocks.shape[-2]
     n_seg = -(-nb // G)
     x = blocks.reshape(lead + (nb * B,))
-    # left halo block + right padding to whole segments
-    x = jnp.pad(x, [(0, 0)] * len(lead) + [(B, (n_seg * G - nb) * B)])
+    # left halo blocks + right padding to whole segments
+    x = jnp.pad(x, [(0, 0)] * len(lead) + [(H * B, (n_seg * G - nb) * B)])
     starts = [s * G * B for s in range(n_seg)]
     windows = jnp.stack(
-        [x[..., st : st + (G + 1) * B] for st in starts], axis=-2
-    )  # (..., n_seg, (G+1)B)
-    conv = batched_rfft_filter(windows, spectrum_seg, (G + 1) * B)
-    y = conv[..., B:].reshape(lead + (n_seg * G * B,))[..., : nb * B]
-    out = jnp.pad(y[..., : nb * B - shift], [(0, 0)] * len(lead) + [(shift, 0)])
-    return out.reshape(lead + (nb, B)).astype(jnp.float32)
+        [x[..., st : st + (G + H) * B] for st in starts], axis=-2
+    )  # (..., n_seg, (G+H)B)
+    conv = batched_rfft_filter(windows, spectrum_seg, (G + H) * B)
+    y = conv[..., H * B :].reshape(lead + (n_seg * G * B,))[..., : nb * B]
+    if shift:
+        y = jnp.pad(y[..., : nb * B - shift],
+                    [(0, 0)] * len(lead) + [(shift, 0)])
+    return y.reshape(lead + (nb, B)).astype(jnp.float32)
 
 
 def offline(params: FFTFilterParams, blocks: jnp.ndarray) -> jnp.ndarray:

@@ -34,10 +34,18 @@ class ReverbLineParams:
     block_size: int
 
 
-@pytree_dataclass
+@pytree_dataclass(meta_fields=("halo_blocks", "seg_blocks", "block_size"))
 class ReverbParams:
     line1: ReverbLineParams
     line2: ReverbLineParams
+    # Whole-reverb impulse response as one segmented-conv spectrum: the sum
+    # over lines of (highcut kernel convolved into the tap train), filter
+    # latency folded in. Offline cost = one FFT convolution instead of ~150
+    # full-signal tap adds.
+    spectrum_full: jnp.ndarray
+    halo_blocks: int
+    seg_blocks: int
+    block_size: int
 
 
 def _line(cfg: EngineConfig, reverb_samples: int, loops: int,
@@ -51,11 +59,39 @@ def _line(cfg: EngineConfig, reverb_samples: int, loops: int,
     )
 
 
+def _line_kernel(cfg: EngineConfig, reverb_samples: int, loops: int,
+                 highcut_hz: float) -> np.ndarray:
+    """Host-side impulse response of one line: ramp-scaled copies of the
+    high-cut sinc kernel at tap offsets, plus the FFT filter's one-block
+    latency (out[m] = conv(x, hk)[m - (B - fl//2)])."""
+    B = cfg.block_size
+    fl = (B // 2) - 1
+    hk = fft_filter.sinc_kernel(highcut_hz, cfg.sample_rate, fl, "blackman")
+    s0 = B - fl // 2
+    time = reverb_samples // loops
+    ramp = np.linspace(0.3, 0.01, num=loops, dtype=np.float32)
+    k = np.zeros(time * (loops - 1) + s0 + fl)
+    for i in range(loops - 1):
+        off = time * (i + 1) + s0
+        k[off : off + fl] += float(ramp[i]) * hk
+    return k
+
+
 def reverb(cfg: EngineConfig, time_in_ms: float = 1500.0) -> Effect:
     reverb_samples = int((time_in_ms / 1000) * cfg.sample_rate)
+    k1 = _line_kernel(cfg, reverb_samples, 100, 5000.0)
+    k2 = _line_kernel(cfg, reverb_samples, 50, 150.0)
+    k = np.zeros(max(len(k1), len(k2)))
+    k[: len(k1)] += k1
+    k[: len(k2)] += k2
+    spec, halo, seg = fft_filter.pack_segmented_kernel(k, cfg.block_size)
     params = ReverbParams(
         line1=_line(cfg, reverb_samples, 100, 5000.0),
         line2=_line(cfg, reverb_samples, 50, 150.0),
+        spectrum_full=spec,
+        halo_blocks=halo,
+        seg_blocks=seg,
+        block_size=cfg.block_size,
     )
     return Effect(name="reverb", params=params, init_state=init_state,
                   step=step, offline=offline)
@@ -97,19 +133,10 @@ def step(params: ReverbParams, state, block: jnp.ndarray):
     return {"line1": st1, "line2": st2}, (wet1 + wet2).astype(jnp.float32)
 
 
-def _line_offline(p: ReverbLineParams, blocks):
-    filtered = fft_filter.offline(p.highcut, blocks)
-    n = filtered.shape[-2] * filtered.shape[-1]
-    x = filtered.reshape(filtered.shape[:-2] + (n,))
-    acc = jnp.zeros_like(x)
-    for k in range(p.n_taps):
-        d = p.time_in_samples * (k + 1)
-        if d >= n:
-            break
-        acc = acc.at[..., d:].add(x[..., : n - d] * p.ramp[k])
-    return acc.reshape(filtered.shape)
-
-
 def offline(params: ReverbParams, blocks: jnp.ndarray) -> jnp.ndarray:
-    out = _line_offline(params.line1, blocks) + _line_offline(params.line2, blocks)
-    return out.astype(jnp.float32)
+    """One segmented FFT convolution with the combined two-line impulse
+    response (both high-cut prefilters and all ~150 taps folded into a single
+    host-built kernel — the whole reverb is LTI)."""
+    return fft_filter.segmented_fft_conv(
+        params.spectrum_full, blocks, 0, params.block_size,
+        params.halo_blocks, params.seg_blocks)
