@@ -62,23 +62,31 @@ def main() -> None:
     blocks.block_until_ready()
     total_samples = CHANNELS * nb * BLOCK_SIZE
 
-    # Checksum readback forces real completion: on the tunneled TPU backend
-    # the first block_until_ready of a program can return before execution.
+    # Timing discipline for the tunneled TPU backend: block_until_ready can
+    # return before execution completes there, so the only honest clock stop
+    # is a host readback that DEPENDS on the result. Each timed run renders
+    # N chained passes (pass i+1's input depends on pass i's output, so they
+    # cannot overlap) and fetches a checksum scalar inside the timed region;
+    # the single ~tens-of-ms tunnel roundtrip amortizes over the N passes.
     checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
+    chain_fn = chain.render_blocks
+    renb = jax.jit(lambda b, o, eps: chain_fn(b + eps * o))
+    N = 4
+    eps = jnp.float32(0.0)  # traced (not foldable): forces the dependency
 
     # compile + warmup (render and checksum programs)
-    for _ in range(2):
-        out = chain.render_blocks(blocks)
-        peak = float(checksum(out))
+    out = renb(blocks, blocks, eps)
+    peak = float(checksum(out))
     assert np.isfinite(peak) and peak > 0, f"bad output (peak={peak})"
 
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = chain.render_blocks(blocks)
-        out.block_until_ready()
-        runs.append(time.perf_counter() - t0)
-        assert np.isfinite(float(checksum(out)))
+        o = out
+        for _ in range(N):
+            o = renb(blocks, o, eps)
+        assert np.isfinite(float(checksum(o)))
+        runs.append((time.perf_counter() - t0) / N)
     dt = min(runs)
 
     samples_per_s = total_samples / dt

@@ -36,14 +36,21 @@ class Chain:
     >>> out_blocks = chain.render_blocks(blocks)       # offline (jitted)
     """
 
-    def __init__(self, effects: Sequence[Effect]):
+    def __init__(self, effects: Sequence[Effect], fuse: bool = True):
         self.effects = tuple(effects)
+        # Consecutive LTI effects collapse into ONE segmented convolution
+        # (their cascade's impulse response is the convolution of their
+        # effective kernels) — e.g. lowcut -> highcut -> eq3band_fft becomes
+        # a single FFT pass instead of three. Identical math, ~3x fewer
+        # FFTs/HBM passes on FIR-heavy chains.
+        self._exec_effects = fuse_lti_runs(self.effects) if fuse \
+            else self.effects
         # The op structure (pure function tuples) is the static jit key; the
         # params pytree is a runtime argument.
         self._structure = tuple(
-            (e.init_state, e.step, e.offline) for e in self.effects
+            (e.init_state, e.step, e.offline) for e in self._exec_effects
         )
-        self.params = tuple(e.params for e in self.effects)
+        self.params = tuple(e.params for e in self._exec_effects)
         self._jit_step = jax.jit(partial(chain_step, self._structure))
         self._jit_render = jax.jit(partial(chain_render, self._structure))
 
@@ -53,8 +60,13 @@ class Chain:
     def __len__(self) -> int:
         return len(self.effects)
 
+    @property
+    def exec_effects(self) -> tuple[Effect, ...]:
+        """The effects actually executed (LTI runs fused), in order."""
+        return self._exec_effects
+
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> tuple[Any, ...]:
-        return tuple(e.state(batch_shape) for e in self.effects)
+        return tuple(e.state(batch_shape) for e in self._exec_effects)
 
     def step(self, state, block):
         """Process one block through the whole chain (compiled once per
@@ -64,6 +76,31 @@ class Chain:
     def render_blocks(self, blocks: jnp.ndarray) -> jnp.ndarray:
         """Offline: process all ``(..., num_blocks, block_size)`` blocks."""
         return self._jit_render(self.params, blocks)
+
+
+def fuse_lti_runs(effects: tuple[Effect, ...]) -> tuple[Effect, ...]:
+    """Replace every run of >= 2 consecutive effects carrying an
+    ``lti_kernel`` with one fused FIR effect (ops/fft_filter.fuse_lti)."""
+    from ..ops.fft_filter import fuse_lti
+
+    out: list[Effect] = []
+    run: list[Effect] = []
+
+    def flush():
+        if len(run) >= 2:
+            out.append(fuse_lti(run))
+        else:
+            out.extend(run)
+        run.clear()
+
+    for e in effects:
+        if e.lti_kernel is not None:
+            run.append(e)
+        else:
+            flush()
+            out.append(e)
+    flush()
+    return tuple(out)
 
 
 def chain_step(structure, params, state, block):

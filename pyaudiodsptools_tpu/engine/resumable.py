@@ -92,7 +92,7 @@ def _render_segment(chain: Chain, state, seg_blocks):
 
 def _step(chain: Chain, state, block):
     new_states = []
-    for eff, st in zip(chain.effects, state):
+    for eff, st in zip(chain.exec_effects, state):
         st, block = eff.step(eff.params, st, block)
         new_states.append(st)
     return tuple(new_states), block

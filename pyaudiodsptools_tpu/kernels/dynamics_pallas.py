@@ -36,12 +36,18 @@ LANES = 128
 def _automaton_rows(scalars, mode, x, y, skip, row):
     """One sample across all channel lanes; mirrors ops/dynamics.py
     _automaton_step with arithmetic ramp evaluation. ``scalars`` are traced
-    jnp scalars (read from SMEM inside the kernel)."""
-    thr, pre_gain, ratio_gain, att_step, rel_step, x_max, y_max = scalars
+    jnp scalars (read from SMEM inside the kernel).
+
+    ``ratio_gain`` (the scan's attack_env[x_max-1], used for HOLD and
+    re-trigger) and ``rel0`` (release_env[0], the release ramp base) are
+    DISTINCT scalars: they agree for x_max >= 2, but numpy.linspace(1.0, r,
+    num=1) == [1.0], so at x_max == 1 the hold gain is 1.0 while the release
+    ramp still starts at r — matching the scan (and the reference) exactly."""
+    thr, pre_gain, ratio_gain, att_step, rel0, rel_step, x_max, y_max = scalars
     over = jnp.abs(row) > thr
 
     att_g = 1.0 + x.astype(jnp.float32) * att_step
-    rel_g = ratio_gain + y.astype(jnp.float32) * rel_step
+    rel_g = rel0 + y.astype(jnp.float32) * rel_step
 
     is_rest = mode == REST
     is_att = mode == ATTACK
@@ -86,14 +92,32 @@ def _automaton_rows(scalars, mode, x, y, skip, row):
     return n_mode, n_x, n_y, n_skip, out_row
 
 
+def _pack_fscal(params: DynamicsParams) -> jnp.ndarray:
+    """Scalar operands (SMEM): params may be jit-traced, so scalars travel
+    as data. ratio_gain (hold/re-trigger gain, attack_env[x_max-1]) and rel0
+    (release_env[0]) differ when x_max == 1 — numpy.linspace(1.0, r, num=1)
+    is [1.0] — so both are carried."""
+    ratio_gain = params.attack_env[-1]
+    rel0 = params.release_env[0]
+    return jnp.stack([
+        params.threshold.astype(jnp.float32),
+        params.pre_gain.astype(jnp.float32),
+        ratio_gain,
+        (ratio_gain - 1.0) / max(params.x_max - 1, 1),
+        rel0,
+        (1.0 - rel0) / max(params.y_max - 1, 1),
+    ]).reshape(1, 6)
+
+
 def _kernel(t_tile, fscal_ref, iscal_ref, x_ref, m0, x0, y0, s0,
             out_ref, mf, xf, yf, sf, mode_s, xs_s, ys_s, skip_s):
     scalars = (
         fscal_ref[0, 0],  # threshold
         fscal_ref[0, 1],  # pre_gain
-        fscal_ref[0, 2],  # ratio_gain (attack_env[-1], exact f32)
+        fscal_ref[0, 2],  # ratio_gain (attack_env[x_max-1]: hold/re-trig)
         fscal_ref[0, 3],  # attack ramp step
-        fscal_ref[0, 4],  # release ramp step
+        fscal_ref[0, 4],  # release ramp base (release_env[0])
+        fscal_ref[0, 5],  # release ramp step
         iscal_ref[0, 0],  # x_max
         iscal_ref[0, 1],  # y_max
     )
@@ -149,14 +173,7 @@ def dynamics_pallas(params: DynamicsParams, state, x: jnp.ndarray,
 
     # Scalar operands (SMEM): params may be jit-traced, so scalars travel as
     # data, not trace-time constants.
-    ratio_gain = params.attack_env[-1]
-    fscal = jnp.stack([
-        params.threshold.astype(jnp.float32),
-        params.pre_gain.astype(jnp.float32),
-        ratio_gain,
-        (ratio_gain - 1.0) / max(params.x_max - 1, 1),
-        (1.0 - ratio_gain) / max(params.y_max - 1, 1),
-    ]).reshape(1, 5)
+    fscal = _pack_fscal(params)
     iscal = jnp.array([[params.x_max, params.y_max]], dtype=jnp.int32)
 
     grid = (Tp // t_tile,)
@@ -165,7 +182,7 @@ def dynamics_pallas(params: DynamicsParams, state, x: jnp.ndarray,
         partial(_kernel, t_tile),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((t_tile, Cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec, row_spec,
@@ -200,6 +217,183 @@ def dynamics_pallas(params: DynamicsParams, state, x: jnp.ndarray,
     return new_state, out.astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Speculative segment-parallel offline kernel
+# ---------------------------------------------------------------------------
+#
+# The serial kernel above is latency-bound: one (1, C) row of ~25 dependent
+# vector ops per sample, T samples long. But the over-threshold mask depends
+# only on the INPUT (never on the automaton's own output), so the whole gain
+# trajectory is a deterministic function of (entry state, mask sequence) —
+# which makes speculative execution sound: split time into G segments, run
+# every segment in parallel from a guessed entry state, then sweep exit ->
+# next entry until fixpoint. The automaton *synchronizes*: any run of
+# x_max+1 over-samples forces state HOLD and any run that completes a release
+# forces REST, independent of the entry state — so on real audio nearly every
+# segment's exit is already entry-independent and the loop converges in 2-3
+# sweeps (elapsed ~= 3·T/G serial samples instead of T). Worst case (no sync
+# windows anywhere) converges in G sweeps — the same total serial work as the
+# plain kernel. The fixpoint reproduces the exact serial state trajectory, so
+# outputs are bit-identical to the serial kernel.
+#
+# State is packed into ONE int per lane (shortening the per-sample dependent
+# chain vs the 4-array carry above):
+#   s = -1            skip (the reference's double counter increment)
+#   s = 0             REST
+#   s in [1, x_max)   ATTACK, x == s
+#   s = x_max         HOLD
+#   s = x_max + y     RELEASE, y in [1, y_max)
+SUBLANES = 8
+
+
+def encode_state(params: DynamicsParams, state) -> jnp.ndarray:
+    """Pack the dict carry (ops/dynamics.init_state layout) into single ints."""
+    mode, x, y = state["mode"], state["x"], state["y"]
+    s = jnp.where(mode == ATTACK, x,
+                  jnp.where(mode == HOLD, params.x_max,
+                            jnp.where(mode == RELEASE, params.x_max + y, 0)))
+    return jnp.where(state["skip"], -1, s).astype(jnp.int32)
+
+
+def _spec_kernel(t_tile, fscal_ref, iscal_ref, x_ref, e_ref, out_ref, z_ref,
+                 s_scr):
+    thr = fscal_ref[0, 0]
+    pre = fscal_ref[0, 1]
+    ratio = fscal_ref[0, 2]      # hold/re-trigger gain (attack_env[x_max-1])
+    att_step = fscal_ref[0, 3]
+    rel0 = fscal_ref[0, 4]       # release ramp base (release_env[0])
+    rel_step = fscal_ref[0, 5]
+    x_max = iscal_ref[0, 0]
+    end = iscal_ref[0, 1]  # x_max + y_max: release completion boundary
+    x_max_f = x_max.astype(jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s_scr[:] = e_ref[:]
+
+    def body(i, _):
+        row = x_ref[pl.ds(i * SUBLANES, SUBLANES), :]  # one sample, (8, K)
+        s = s_scr[:]
+        s_f = s.astype(jnp.float32)
+        over = jnp.abs(row) > thr
+        pos = s > 0
+        in_att = pos & (s < x_max)
+        att_g = 1.0 + s_f * att_step
+        rel_g = rel0 + (s_f - x_max_f) * rel_step
+        hi_g = jnp.where(over, ratio, rel_g)
+        gain = jnp.where(pos, jnp.where(in_att, att_g, hi_g), 1.0)
+        out_ref[pl.ds(i * SUBLANES, SUBLANES), :] = row * pre * gain
+
+        sp1 = s + 1
+        rel_next = jnp.where(sp1 == end, -1, sp1)   # release done -> skip
+        hi_next = jnp.where(over, x_max, rel_next)  # hold stay / re-trigger
+        n = jnp.where(in_att, sp1, hi_next)         # attack ignores the mask
+        n = jnp.where(s == 0, over.astype(jnp.int32), n)  # REST trigger
+        n = jnp.where(s < 0, 0, n)                  # skip consumes itself
+        s_scr[:] = n
+        return 0
+
+    jax.lax.fori_loop(0, t_tile, body, 0)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _fin():
+        z_ref[:] = s_scr[:]
+
+
+def dynamics_pallas_offline(params: DynamicsParams, x: jnp.ndarray,
+                            segments: int | None = None,
+                            t_tile: int | None = None,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Whole-signal automaton, segment-parallel: (C, T) -> (C, T).
+
+    Entry state is REST everywhere (matching ops/dynamics.offline). The
+    speculative sweep loop runs until the segment entry states reach their
+    fixpoint, so the result equals the serial simulation exactly.
+    """
+    C, T = x.shape
+    if segments is None:
+        # Fill ~4096 lanes of parallel work but keep segments long enough
+        # (>= ~2048 samples) that sync windows are likely within each.
+        segments = max(1, min(4096 // max(C, 1), T // 2048))
+    if t_tile is None:
+        # In+out time tiles are double-buffered in VMEM; keep
+        # 2 * 2 * (t_tile * 8 * K * 4B) within ~8 MB of the 16 MB budget.
+        k_est = (-(-C * segments // (SUBLANES * LANES)) * LANES)
+        t_tile = max(32, min(256, (2 * 1024 * 1024) // (SUBLANES * 4 * k_est)))
+    # Segment length must be a t_tile multiple: time-padding is only legal at
+    # the very end of the signal (zeros inside the timeline would corrupt the
+    # state handoff between segments).
+    L = -(-max(t_tile, -(-T // segments)) // t_tile) * t_tile
+    G = -(-T // L)
+    Tp = G * L
+    R = C * G
+    Rp = -(-R // (SUBLANES * LANES)) * (SUBLANES * LANES)
+    K = Rp // SUBLANES
+
+    xp = jnp.pad(x, ((0, 0), (0, Tp - T)))
+    # (C, G, L) -> time-major (L, R), r = c*G + g; each sample's Rp lanes
+    # occupy 8 contiguous sublane rows of a (L*8, K) array.
+    xk = jnp.moveaxis(xp.reshape(C, G, L), 2, 0).reshape(L, R)
+    xk = jnp.pad(xk, ((0, 0), (0, Rp - R))).reshape(L * SUBLANES, K)
+
+    fscal = _pack_fscal(params)
+    iscal = jnp.array([[params.x_max, params.x_max + params.y_max]],
+                      dtype=jnp.int32)
+
+    state_spec = pl.BlockSpec((SUBLANES, K), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    sweep_call = pl.pallas_call(
+        partial(_spec_kernel, t_tile),
+        grid=(L // t_tile,),
+        in_specs=[
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_tile * SUBLANES, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((t_tile * SUBLANES, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L * SUBLANES, K), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, K), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((SUBLANES, K), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def to_logical(e):
+        return e.reshape(Rp)[:R].reshape(C, G)
+
+    def from_logical(el):
+        return jnp.pad(el.reshape(R), (0, Rp - R)).reshape(SUBLANES, K)
+
+    def cond(carry):
+        _, _, done, it = carry
+        return jnp.logical_and(jnp.logical_not(done), it < G + 2)
+
+    def body(carry):
+        e, _, _, it = carry
+        out, z = sweep_call(fscal, iscal, xk, e)
+        el, zl = to_logical(e), to_logical(z)
+        # segment 0 keeps its true entry (REST); others take the previous
+        # segment's exit. Fixpoint == the serial state trajectory.
+        en = jnp.concatenate([el[:, :1], zl[:, :-1]], axis=1)
+        done = jnp.all(en == el)
+        return from_logical(en), out, done, it + 1
+
+    e0 = jnp.zeros((SUBLANES, K), jnp.int32)
+    out0 = jnp.zeros((L * SUBLANES, K), jnp.float32)
+    _, out, _, _ = jax.lax.while_loop(
+        cond, body, (e0, out0, jnp.bool_(False), jnp.int32(0)))
+
+    out = out.reshape(L, Rp)[:, :R].reshape(L, C, G)
+    return jnp.moveaxis(out, 0, 2).reshape(C, Tp)[:, :T]
+
+
 def _fast_effect(base: Effect, interpret: bool = False) -> Effect:
     """Wrap a faithful dynamics Effect with kernel-backed offline/step paths.
 
@@ -211,13 +405,11 @@ def _fast_effect(base: Effect, interpret: bool = False) -> Effect:
         shape = blocks.shape
         if blocks.ndim == 2:  # (nb, B) mono
             x = blocks.reshape(1, -1)
-            st = init_state(params, (1,))
         elif blocks.ndim == 3:  # (C, nb, B)
             x = blocks.reshape(shape[0], -1)
-            st = init_state(params, (shape[0],))
         else:
             raise ValueError("fast dynamics supports (nb,B) or (C,nb,B) blocks")
-        _, out = dynamics_pallas(params, st, x, interpret=interpret)
+        out = dynamics_pallas_offline(params, x, interpret=interpret)
         return out.reshape(shape)
 
     def step(params: DynamicsParams, state, block: jnp.ndarray):

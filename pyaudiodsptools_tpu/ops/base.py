@@ -70,6 +70,11 @@ class Effect(NamedTuple):
     # halo exchange) or carries a sequential recurrence (scan ops: shard
     # channels only). Drives sharding constraints in parallel.render.
     time_parallel: bool = True
+    # For linear time-invariant ops: the host-side (numpy float64) effective
+    # impulse response INCLUDING the op's latency shift, so that the op equals
+    # ``y = conv(x, lti_kernel)`` truncated to input length. Consecutive LTI
+    # ops in a Chain fuse into one segmented convolution (engine/chain.py).
+    lti_kernel: Optional[Any] = None
 
     def state(self, batch_shape: tuple[int, ...] = ()) -> Any:
         return self.init_state(self.params, batch_shape)

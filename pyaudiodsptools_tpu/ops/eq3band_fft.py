@@ -81,8 +81,14 @@ def eq3band_fft(cfg: EngineConfig, lowshelf_hz: float, lowshelf_db: float,
         slice_end=B - fl // 2,
         shift=B - fl // 2,
     )
+    # Effective impulse response: wet kernel at its latency shift plus the
+    # 1-block-delayed dry path (unit tap at index B).
+    shift = B - fl // 2
+    eff_kernel = np.zeros(max(shift + len(k_combined), B + 1))
+    eff_kernel[shift : shift + len(k_combined)] += k_combined
+    eff_kernel[B] += 1.0
     return Effect(name="eq3band_fft", params=params, init_state=init_state,
-                  step=step, offline=offline)
+                  step=step, offline=offline, lti_kernel=eff_kernel)
 
 
 def init_state(params: EQ3BandFFTParams, batch_shape: tuple[int, ...] = ()):

@@ -113,8 +113,10 @@ def _make(cfg: EngineConfig, cutoff_hz: float, invert: bool, name: str) -> Effec
     fl = (B // 2) - 1
     kernel = sinc_kernel(cutoff_hz, cfg.sample_rate, fl, "blackman", invert)
     params = _filter_params(kernel, B, fl)
+    # Effective impulse response incl. the 1-block latency: y = conv(x, e).
+    eff_kernel = np.concatenate([np.zeros(B - fl // 2), kernel])
     return Effect(name=name, params=params, init_state=init_state, step=step,
-                  offline=offline)
+                  offline=offline, lti_kernel=eff_kernel)
 
 
 def highcut(cfg: EngineConfig, cutoff_hz: float = 8000.0) -> Effect:
@@ -224,6 +226,85 @@ def offline(params: FFTFilterParams, blocks: jnp.ndarray) -> jnp.ndarray:
     ``segmented_fft_conv``); numerically equivalent to folding ``step``."""
     return segmented_fft_conv(params.spectrum_seg, blocks, params.shift,
                               params.block_size)
+
+
+# ---------------------------------------------------------------------------
+# Generic FIR effect from an arbitrary kernel (used for fused LTI cascades)
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass(meta_fields=("block_size", "halo", "seg", "halo_stream"))
+class FIRParams:
+    spectrum: jnp.ndarray      # (2, (halo_stream+1)B//2+1) — streaming window
+    spectrum_seg: jnp.ndarray  # (2, (halo+seg)B//2 + 1) — offline segments
+    block_size: int
+    halo: int                  # offline segment halo (covers the kernel)
+    seg: int                   # output blocks per offline FFT window
+    halo_stream: int           # streaming history blocks (pow2 window - 1)
+
+
+def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
+    """An Effect computing ``y = conv(x, kernel)`` (causal, zero-latency
+    beyond what the kernel itself encodes). Streaming keeps
+    ``ceil((len(kernel)-1)/B)`` history blocks; offline uses the segmented
+    overlap-save path. This is the execution form of a fused LTI cascade."""
+    B = block_size
+    spec_seg, halo, seg = pack_segmented_kernel(kernel, B)
+    # Streaming window rounded up to a power-of-two block count so the FFT
+    # stays off XLA's slow non-pow2 (Bluestein) path; the extra history
+    # blocks are harmless (larger wrap-free region).
+    w = 1
+    while w < halo + 1:
+        w *= 2
+    halo_stream = w - 1
+    stream_len = (halo_stream + 1) * B
+    spec_stream = np.fft.rfft(
+        np.concatenate([kernel, np.zeros(stream_len - len(kernel))]))
+    params = FIRParams(
+        spectrum=pack_spectrum(spec_stream),
+        spectrum_seg=spec_seg,
+        block_size=B, halo=halo, seg=seg, halo_stream=halo_stream,
+    )
+    return Effect(name=name, params=params, init_state=fir_init_state,
+                  step=fir_step, offline=fir_offline,
+                  lti_kernel=np.asarray(kernel, dtype=np.float64))
+
+
+def fir_init_state(params: FIRParams, batch_shape: tuple[int, ...] = ()):
+    return {"hist": jnp.zeros(
+        batch_shape + (params.halo_stream, params.block_size),
+        dtype=jnp.float32)}
+
+
+def fir_step(params: FIRParams, state, block: jnp.ndarray):
+    B = params.block_size
+    h = params.halo_stream
+    window = jnp.concatenate(
+        [state["hist"].reshape(block.shape[:-1] + (h * B,)), block], axis=-1)
+    out = batched_rfft_filter(window, params.spectrum, (h + 1) * B)
+    # wrap-free region: kernel length <= halo_stream*B + 1, so the final
+    # block is the exact linear convolution.
+    out = out[..., h * B :].astype(jnp.float32)
+    hist = jnp.concatenate(
+        [state["hist"][..., 1:, :], block[..., None, :]], axis=-2)
+    return {"hist": hist}, out
+
+
+def fir_offline(params: FIRParams, blocks: jnp.ndarray) -> jnp.ndarray:
+    return segmented_fft_conv(params.spectrum_seg, blocks, 0,
+                              params.block_size, params.halo, params.seg)
+
+
+def fuse_lti(effects, name: str = "fir_cascade") -> Effect:
+    """Fuse consecutive LTI effects into one FIR: the cascade's impulse
+    response is the convolution of the members' effective kernels (built in
+    float64 on host)."""
+    from functools import reduce
+
+    kernels = [np.asarray(e.lti_kernel, dtype=np.float64) for e in effects]
+    kernel = reduce(np.convolve, kernels)
+    B = getattr(effects[0].params, "block_size")
+    return fir(kernel, B, name=name + ":" + "+".join(e.name for e in effects))
 
 
 def offline_windows(params: FFTFilterParams, blocks: jnp.ndarray) -> jnp.ndarray:

@@ -68,7 +68,7 @@ class ShardedRenderer:
         self.mesh = mesh
         self._structure = tuple(
             (e.init_state, e.step, e.offline, e.time_parallel)
-            for e in chain.effects
+            for e in chain.exec_effects
         )
         self._in_sharding = NamedSharding(mesh, P("channel", "time", None))
         self._fn = jax.jit(partial(_render_with_constraints, self._structure, mesh))

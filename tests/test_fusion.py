@@ -1,0 +1,130 @@
+"""LTI chain fusion (engine/chain.fuse_lti_runs + ops/fft_filter.fir) and the
+speculative segment-parallel dynamics kernel (dynamics_pallas_offline)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pyaudiodsptools_tpu import Chain, EngineConfig, ops
+from pyaudiodsptools_tpu.kernels.dynamics_pallas import dynamics_pallas_offline
+
+from ref_loader import snr_db
+
+
+def _fir_effects(cfg):
+    return [
+        ops.lowcut(cfg, 120.0),
+        ops.highcut(cfg, 12000.0),
+        ops.eq3band_fft(cfg, 250.0, 2.0, 1500.0, -1.5, 6000.0, 2.5),
+    ]
+
+
+def test_fused_offline_matches_unfused():
+    cfg = EngineConfig(44100, 512)
+    fused = Chain(_fir_effects(cfg), fuse=True)
+    plain = Chain(_fir_effects(cfg), fuse=False)
+    assert len(fused.exec_effects) == 1
+    assert len(plain.exec_effects) == 3
+
+    rng = np.random.default_rng(0)
+    blocks = jnp.asarray(
+        (rng.standard_normal((2, 20, 512)) * 0.3).astype(np.float32))
+    a = np.asarray(fused.render_blocks(blocks))
+    b = np.asarray(plain.render_blocks(blocks))
+    assert snr_db(b, a) > 100.0
+
+
+def test_fused_streaming_matches_unfused_and_offline():
+    cfg = EngineConfig(44100, 512)
+    fused = Chain(_fir_effects(cfg), fuse=True)
+    plain = Chain(_fir_effects(cfg), fuse=False)
+
+    rng = np.random.default_rng(1)
+    blocks = jnp.asarray(
+        (rng.standard_normal((2, 12, 512)) * 0.3).astype(np.float32))
+    sf, sp = fused.init_state((2,)), plain.init_state((2,))
+    outs_f, outs_p = [], []
+    for i in range(12):
+        sf, bf = fused.step(sf, blocks[:, i])
+        sp, bp = plain.step(sp, blocks[:, i])
+        outs_f.append(np.asarray(bf))
+        outs_p.append(np.asarray(bp))
+    # compare whole streams (individual early blocks are pure latency zeros)
+    f, p = np.stack(outs_f, axis=1), np.stack(outs_p, axis=1)
+    assert snr_db(p, f) > 100.0
+    offline = np.asarray(fused.render_blocks(blocks))
+    assert snr_db(offline, f) > 100.0
+
+
+def test_fusion_skips_nonlti_and_short_runs():
+    cfg = EngineConfig(44100, 512)
+    chain = Chain([
+        ops.lowcut(cfg, 120.0),          # run of 1: kept as-is
+        ops.compressor(cfg),              # non-LTI boundary
+        ops.highcut(cfg, 9000.0),
+        ops.eq3band_fft(cfg, 250.0, 2.0, 1500.0, -1.5, 6000.0, 2.5),
+    ])
+    names = [e.name for e in chain.exec_effects]
+    assert names[0] == "lowcut" and names[1] == "compressor"
+    assert len(names) == 3 and names[2].startswith("fir_cascade")
+
+
+def test_generic_fir_matches_numpy_convolution():
+    from pyaudiodsptools_tpu.ops.fft_filter import fir
+
+    rng = np.random.default_rng(2)
+    kernel = rng.standard_normal(700) / 700.0
+    eff = fir(kernel, 256)
+    x = (rng.standard_normal((3, 8, 256)) * 0.5).astype(np.float32)
+    got = np.asarray(eff.offline(eff.params, jnp.asarray(x)))
+    want = np.stack([
+        np.convolve(x[c].reshape(-1), kernel)[: 8 * 256] for c in range(3)
+    ]).reshape(3, 8, 256)
+    assert snr_db(want.astype(np.float32), got) > 100.0
+
+
+# --- speculative segment-parallel dynamics -------------------------------
+
+def _signals(n):
+    rng = np.random.default_rng(42)
+    yield "bursty", (rng.standard_normal((2, n)) * 0.3 *
+                     (rng.random((2, n)) > 0.5)).astype(np.float32)
+    # adversarial: hovers around threshold with no sync windows anywhere,
+    # forcing the sweep loop toward its serial worst case
+    yield "alternating", np.tile([0.9, 1e-4], n // 2)[None, :].repeat(
+        2, 0).astype(np.float32)
+    yield "silence", np.zeros((2, n), np.float32)
+
+
+@pytest.mark.parametrize("factory,kwargs", [
+    (ops.compressor, dict(threshold_db=-18.0, ratio=0.6)),
+    (ops.gate, dict(threshold_db=-45.0, depth=0.1)),
+])
+@pytest.mark.parametrize("segments", [1, 5, 16])
+def test_spec_dynamics_matches_scan(factory, kwargs, segments):
+    cfg = EngineConfig(44100, 512)
+    eff = factory(cfg, **kwargs)
+    n = 30000
+    for name, sig in _signals(n):
+        x = jnp.asarray(sig)
+        st = eff.init_state(eff.params, (2,))
+        _, want = eff.step(eff.params, st, x)
+        got = dynamics_pallas_offline(eff.params, x, segments=segments,
+                                      interpret=True)
+        assert snr_db(np.asarray(want), np.asarray(got)) > 100.0, (
+            name, segments)
+
+
+def test_spec_dynamics_short_attack_edge():
+    """x_max == 1 collapses ATTACK entirely (trigger jumps straight to
+    HOLD); the single-int encoding must handle it."""
+    cfg = EngineConfig(44100, 512)
+    eff = ops.compressor(cfg, threshold_db=-20.0, ratio=0.5,
+                         attack_ms=1000.0 / 44100.0, release_ms=2.0)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray((rng.standard_normal((1, 8000)) * 0.5
+                     ).astype(np.float32))
+    st = eff.init_state(eff.params, (1,))
+    _, want = eff.step(eff.params, st, x)
+    got = dynamics_pallas_offline(eff.params, x, segments=7, interpret=True)
+    assert snr_db(np.asarray(want), np.asarray(got)) > 100.0
