@@ -61,21 +61,34 @@ def main() -> None:
         "bitcrusher": ops.bitcrusher(cfg),
         "reverb": ops.reverb(cfg, 1500),
     }
+    if jax.default_backend() != "cpu":
+        from pyaudiodsptools_tpu.kernels.dynamics_pallas import (
+            fast_compressor, fast_gate)
 
-    checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
+        effects["compressor_pallas"] = fast_compressor(cfg)
+        effects["gate_pallas"] = fast_gate(cfg)
+
+    # Honest clock for the tunneled TPU backend: block_until_ready can
+    # return before execution completes, so each timed run chains N passes
+    # through a data dependency and fetches a checksum scalar inside the
+    # timed region (bench.py uses the same discipline).
     results = {}
     budget_ms = cfg.block_duration_ms
+    N = 4
+    eps = jnp.float32(0.0)
     for name, eff in effects.items():
-        fn = jax.jit(eff.offline)
-        out = fn(eff.params, blocks)
-        float(checksum(out))  # force compile + completion
+        fn = jax.jit(lambda p, b, o, e, _f=eff.offline: _f(p, b + e * o))
+        checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
+        out = fn(eff.params, blocks, blocks, eps)
+        assert np.isfinite(float(checksum(out)))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(eff.params, blocks)
-            out.block_until_ready()
-            times.append(time.perf_counter() - t0)
-            assert np.isfinite(float(checksum(out)))
+            o = out
+            for _ in range(N):
+                o = fn(eff.params, blocks, o, eps)
+            assert np.isfinite(float(checksum(o)))
+            times.append((time.perf_counter() - t0) / N)
         dt = min(times)
         ms_per_block = 1000.0 * dt / nb
         total_samples = total
