@@ -72,7 +72,7 @@ def main() -> None:
     chain_fn = chain.render_blocks
     renb = jax.jit(lambda b, o, eps: chain_fn(b + eps * o))
     N = 4
-    eps = jnp.float32(0.0)  # traced (not foldable): forces the dependency
+    eps = jnp.float32(1e-6)  # nonzero: every pass computes on genuinely new data
 
     # compile + warmup (render and checksum programs)
     out = renb(blocks, blocks, eps)

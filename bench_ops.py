@@ -75,7 +75,7 @@ def main() -> None:
     results = {}
     budget_ms = cfg.block_duration_ms
     N = 4
-    eps = jnp.float32(0.0)
+    eps = jnp.float32(1e-6)
     for name, eff in effects.items():
         fn = jax.jit(lambda p, b, o, e, _f=eff.offline: _f(p, b + e * o))
         checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))

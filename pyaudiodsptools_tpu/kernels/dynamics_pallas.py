@@ -312,14 +312,16 @@ def dynamics_pallas_offline(params: DynamicsParams, x: jnp.ndarray,
     """
     C, T = x.shape
     if segments is None:
-        # Fill ~4096 lanes of parallel work but keep segments long enough
-        # (>= ~2048 samples) that sync windows are likely within each.
-        segments = max(1, min(4096 // max(C, 1), T // 2048))
+        # Fill ~8192 lanes of parallel work (measured optimum on v5e: the
+        # per-sample dependent-latency component shrinks with more segments
+        # until VMEM tiling and sweep-count effects win) but keep segments
+        # long enough (>= ~2048 samples) that sync windows are likely.
+        segments = max(1, min(8192 // max(C, 1), T // 2048))
     if t_tile is None:
         # In+out time tiles are double-buffered in VMEM; keep
         # 2 * 2 * (t_tile * 8 * K * 4B) within ~8 MB of the 16 MB budget.
         k_est = (-(-C * segments // (SUBLANES * LANES)) * LANES)
-        t_tile = max(32, min(256, (2 * 1024 * 1024) // (SUBLANES * 4 * k_est)))
+        t_tile = max(8, min(256, (2 * 1024 * 1024) // (SUBLANES * 4 * k_est)))
     # Segment length must be a t_tile multiple: time-padding is only legal at
     # the very end of the signal (zeros inside the timeline would corrupt the
     # state handoff between segments).
