@@ -59,8 +59,26 @@ def delay(cfg: EngineConfig, time_in_ms: float = 500.0, feedback_loops: int = 2,
         use_lowcut=use_lowcut_filter,
         use_highcut=use_highcut_filter,
     )
+    # Effective impulse response (the op is LTI): dry tap (unless wet) plus
+    # ramp[k] at time*(k+1), convolved with any enabled pre-filters' kernels.
+    ramp64 = np.linspace(0.5, 0.1, num=feedback_loops, dtype=np.float32
+                         ).astype(np.float64)
+    eff_kernel = np.zeros(time_in_samples * feedback_loops + 1)
+    if not wet:
+        eff_kernel[0] = 1.0
+    for k in range(feedback_loops):
+        eff_kernel[time_in_samples * (k + 1)] += ramp64[k]
+    for enabled, hz, invert in ((use_lowcut_filter, lowcut_hz, True),
+                                (use_highcut_filter, highcut_hz, False)):
+        if enabled:
+            fl = (cfg.block_size // 2) - 1
+            k_f = fft_filter.sinc_kernel(hz, cfg.sample_rate, fl, "blackman",
+                                         invert)
+            shifted = np.concatenate(
+                [np.zeros(cfg.block_size - fl // 2), k_f])
+            eff_kernel = np.convolve(eff_kernel, shifted)
     return Effect(name="delay", params=params, init_state=init_state, step=step,
-                  offline=offline)
+                  offline=offline, lti_kernel=eff_kernel)
 
 
 def _buffer_len(params: DelayParams) -> int:

@@ -94,7 +94,7 @@ def reverb(cfg: EngineConfig, time_in_ms: float = 1500.0) -> Effect:
         block_size=cfg.block_size,
     )
     return Effect(name="reverb", params=params, init_state=init_state,
-                  step=step, offline=offline)
+                  step=step, offline=offline, lti_kernel=k)
 
 
 def _line_buffer_len(p: ReverbLineParams) -> int:

@@ -83,6 +83,27 @@ def test_generic_fir_matches_numpy_convolution():
     assert snr_db(want.astype(np.float32), got) > 100.0
 
 
+@pytest.mark.parametrize("mk", [
+    lambda cfg: [ops.lowcut(cfg, 200.0), ops.delay(cfg, 40.0, 2)],
+    lambda cfg: [ops.delay(cfg, 30.0, 2, wet=True), ops.highcut(cfg, 9000.0)],
+    lambda cfg: [ops.lowcut(cfg, 300.0), ops.reverb(cfg, 120.0)],
+    lambda cfg: [ops.delay(cfg, 25.0, 2, use_lowcut_filter=True,
+                           lowcut_hz=100.0), ops.highcut(cfg, 8000.0)],
+])
+def test_delay_reverb_fuse(mk):
+    cfg = EngineConfig(44100, 512)
+    fused = Chain(mk(cfg), fuse=True)
+    plain = Chain(mk(cfg), fuse=False)
+    assert len(fused.exec_effects) == 1
+
+    rng = np.random.default_rng(3)
+    blocks = jnp.asarray(
+        (rng.standard_normal((2, 24, 512)) * 0.3).astype(np.float32))
+    a = np.asarray(fused.render_blocks(blocks))
+    b = np.asarray(plain.render_blocks(blocks))
+    assert snr_db(b, a) > 90.0
+
+
 # --- speculative segment-parallel dynamics -------------------------------
 
 def _signals(n):

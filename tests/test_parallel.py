@@ -57,3 +57,24 @@ def test_fir_halo_correctness():
     mesh = make_mesh(channel=1, time=8)
     out = np.asarray(ShardedRenderer(chain, cfg, mesh).render(sig))
     np.testing.assert_allclose(golden, out[:, : golden.shape[-1]], atol=2e-6)
+
+
+def test_render_local_channels_and_meters(data):
+    """Per-host shard assembly path (single process: local == global) and
+    the cross-shard metering reductions."""
+    from pyaudiodsptools_tpu.parallel import dist
+
+    cfg, chain, sig, golden = data
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(channel=4, time=2)
+    r = ShardedRenderer(chain, cfg, mesh)
+    out = np.asarray(dist.render_local_channels(r, sig))
+    assert out.shape == sig.shape
+    assert snr_db(golden, out[:, : golden.shape[-1]]) > 100.0
+
+    blocks = r.render_blocks(
+        jax.device_put(
+            np.asarray(sig).reshape(8, -1, cfg.block_size), r._in_sharding))
+    m = dist.sharded_meters(blocks)
+    assert 0 < m["peak"] < 4.0 and 0 < m["rms"] < m["peak"]
