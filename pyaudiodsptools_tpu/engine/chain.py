@@ -79,26 +79,55 @@ class Chain:
 
 
 def fuse_lti_runs(effects: tuple[Effect, ...]) -> tuple[Effect, ...]:
-    """Replace every run of >= 2 consecutive effects carrying an
-    ``lti_kernel`` with one fused FIR effect (ops/fft_filter.fuse_lti)."""
+    """Fuse runs of >= 2 consecutive fusable effects:
+
+    * LTI effects (carry an ``lti_kernel``) -> one FIR whose impulse
+      response is the cascade's (ops/fft_filter.fuse_lti);
+    * dynamics automatons (compressor/gate, params is DynamicsParams) ->
+      one cascaded speculative kernel pass (kernels.dynamics_pallas
+      .fused_dynamics) — accelerator backends only (the kernel needs a TPU;
+      on CPU the faithful scans stay separate).
+    """
+    import jax
+
+    from ..ops.dynamics import DynamicsParams
     from ..ops.fft_filter import fuse_lti
+
+    fuse_dyn = jax.default_backend() != "cpu"
+
+    def kind(e: Effect) -> str:
+        if e.lti_kernel is not None:
+            return "lti"
+        if fuse_dyn and isinstance(e.params, DynamicsParams):
+            return "dyn"
+        return ""
 
     out: list[Effect] = []
     run: list[Effect] = []
+    run_kind = ""
 
     def flush():
-        if len(run) >= 2:
+        if len(run) >= 2 and run_kind == "lti":
             out.append(fuse_lti(run))
+        elif len(run) >= 2 and run_kind == "dyn":
+            from ..kernels.dynamics_pallas import fused_dynamics
+
+            out.append(fused_dynamics(run))
         else:
             out.extend(run)
         run.clear()
 
     for e in effects:
-        if e.lti_kernel is not None:
+        k = kind(e)
+        if k and k == run_kind:
             run.append(e)
         else:
             flush()
-            out.append(e)
+            run_kind = k
+            if k:
+                run.append(e)
+            else:
+                out.append(e)
     flush()
     return tuple(out)
 

@@ -255,17 +255,48 @@ def encode_state(params: DynamicsParams, state) -> jnp.ndarray:
     return jnp.where(state["skip"], -1, s).astype(jnp.int32)
 
 
-def _spec_kernel(t_tile, fscal_ref, iscal_ref, x_ref, e_ref, out_ref, z_ref,
-                 s_scr):
-    thr = fscal_ref[0, 0]
-    pre = fscal_ref[0, 1]
-    ratio = fscal_ref[0, 2]      # hold/re-trigger gain (attack_env[x_max-1])
-    att_step = fscal_ref[0, 3]
-    rel0 = fscal_ref[0, 4]       # release ramp base (release_env[0])
-    rel_step = fscal_ref[0, 5]
-    x_max = iscal_ref[0, 0]
-    end = iscal_ref[0, 1]  # x_max + y_max: release completion boundary
+def _int_automaton(scalars, s, row):
+    """Single-int automaton, one sample: (state, input row) -> (output row,
+    next state). Semantics identical to _automaton_rows (see the encoding
+    comment above)."""
+    thr, pre, ratio, att_step, rel0, rel_step, x_max, end = scalars
     x_max_f = x_max.astype(jnp.float32)
+    s_f = s.astype(jnp.float32)
+    over = jnp.abs(row) > thr
+    pos = s > 0
+    in_att = pos & (s < x_max)
+    att_g = 1.0 + s_f * att_step
+    rel_g = rel0 + (s_f - x_max_f) * rel_step
+    hi_g = jnp.where(over, ratio, rel_g)
+    gain = jnp.where(pos, jnp.where(in_att, att_g, hi_g), 1.0)
+
+    sp1 = s + 1
+    rel_next = jnp.where(sp1 == end, -1, sp1)   # release done -> skip
+    hi_next = jnp.where(over, x_max, rel_next)  # hold stay / re-trigger
+    n = jnp.where(in_att, sp1, hi_next)         # attack ignores the mask
+    n = jnp.where(s == 0, over.astype(jnp.int32), n)  # REST trigger
+    n = jnp.where(s < 0, 0, n)                  # skip consumes itself
+    return row * pre * gain, n
+
+
+def _spec_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref, out_ref,
+                 z_ref, s_scr):
+    """Speculative sweep over one time tile, running a CASCADE of n_ops
+    automatons per sample (op j+1 consumes op j's output — a fused
+    compressor->gate chain costs one HBM pass). State rows for op j live at
+    sublane rows [j*8, j*8+8)."""
+    scalars = []
+    for j in range(n_ops):  # static unroll
+        scalars.append((
+            fscal_ref[j, 0],  # threshold
+            fscal_ref[j, 1],  # pre_gain
+            fscal_ref[j, 2],  # hold/re-trigger gain (attack_env[x_max-1])
+            fscal_ref[j, 3],  # attack ramp step
+            fscal_ref[j, 4],  # release ramp base (release_env[0])
+            fscal_ref[j, 5],  # release ramp step
+            iscal_ref[j, 0],  # x_max
+            iscal_ref[j, 1],  # x_max + y_max: release completion boundary
+        ))
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -273,24 +304,11 @@ def _spec_kernel(t_tile, fscal_ref, iscal_ref, x_ref, e_ref, out_ref, z_ref,
 
     def body(i, _):
         row = x_ref[pl.ds(i * SUBLANES, SUBLANES), :]  # one sample, (8, K)
-        s = s_scr[:]
-        s_f = s.astype(jnp.float32)
-        over = jnp.abs(row) > thr
-        pos = s > 0
-        in_att = pos & (s < x_max)
-        att_g = 1.0 + s_f * att_step
-        rel_g = rel0 + (s_f - x_max_f) * rel_step
-        hi_g = jnp.where(over, ratio, rel_g)
-        gain = jnp.where(pos, jnp.where(in_att, att_g, hi_g), 1.0)
-        out_ref[pl.ds(i * SUBLANES, SUBLANES), :] = row * pre * gain
-
-        sp1 = s + 1
-        rel_next = jnp.where(sp1 == end, -1, sp1)   # release done -> skip
-        hi_next = jnp.where(over, x_max, rel_next)  # hold stay / re-trigger
-        n = jnp.where(in_att, sp1, hi_next)         # attack ignores the mask
-        n = jnp.where(s == 0, over.astype(jnp.int32), n)  # REST trigger
-        n = jnp.where(s < 0, 0, n)                  # skip consumes itself
-        s_scr[:] = n
+        for j in range(n_ops):
+            s = s_scr[pl.ds(j * SUBLANES, SUBLANES), :]
+            row, n = _int_automaton(scalars[j], s, row)
+            s_scr[pl.ds(j * SUBLANES, SUBLANES), :] = n
+        out_ref[pl.ds(i * SUBLANES, SUBLANES), :] = row
         return 0
 
     jax.lax.fori_loop(0, t_tile, body, 0)
@@ -300,16 +318,22 @@ def _spec_kernel(t_tile, fscal_ref, iscal_ref, x_ref, e_ref, out_ref, z_ref,
         z_ref[:] = s_scr[:]
 
 
-def dynamics_pallas_offline(params: DynamicsParams, x: jnp.ndarray,
+def dynamics_pallas_offline(params, x: jnp.ndarray,
                             segments: int | None = None,
                             t_tile: int | None = None,
                             interpret: bool = False) -> jnp.ndarray:
-    """Whole-signal automaton, segment-parallel: (C, T) -> (C, T).
+    """Whole-signal automaton (or automaton CASCADE), segment-parallel:
+    (C, T) -> (C, T). ``params`` is one DynamicsParams or a sequence of
+    them; a sequence runs op j+1 on op j's per-sample output inside the
+    same kernel (one HBM pass for the whole dynamics chain).
 
     Entry state is REST everywhere (matching ops/dynamics.offline). The
     speculative sweep loop runs until the segment entry states reach their
     fixpoint, so the result equals the serial simulation exactly.
     """
+    params_list = (list(params) if isinstance(params, (list, tuple))
+                   else [params])
+    n_ops = len(params_list)
     C, T = x.shape
     if segments is None:
         # Fill ~8192 lanes of parallel work (measured optimum on v5e: the
@@ -338,18 +362,20 @@ def dynamics_pallas_offline(params: DynamicsParams, x: jnp.ndarray,
     xk = jnp.moveaxis(xp.reshape(C, G, L), 2, 0).reshape(L, R)
     xk = jnp.pad(xk, ((0, 0), (0, Rp - R))).reshape(L * SUBLANES, K)
 
-    fscal = _pack_fscal(params)
-    iscal = jnp.array([[params.x_max, params.x_max + params.y_max]],
+    fscal = jnp.concatenate([_pack_fscal(p) for p in params_list], axis=0)
+    iscal = jnp.array([[p.x_max, p.x_max + p.y_max] for p in params_list],
                       dtype=jnp.int32)
 
-    state_spec = pl.BlockSpec((SUBLANES, K), lambda i: (0, 0),
+    state_spec = pl.BlockSpec((n_ops * SUBLANES, K), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     sweep_call = pl.pallas_call(
-        partial(_spec_kernel, t_tile),
+        partial(_spec_kernel, t_tile, n_ops),
         grid=(L // t_tile,),
         in_specs=[
-            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ops, 6), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ops, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((t_tile * SUBLANES, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             state_spec,
@@ -361,17 +387,20 @@ def dynamics_pallas_offline(params: DynamicsParams, x: jnp.ndarray,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L * SUBLANES, K), jnp.float32),
-            jax.ShapeDtypeStruct((SUBLANES, K), jnp.int32),
+            jax.ShapeDtypeStruct((n_ops * SUBLANES, K), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((SUBLANES, K), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((n_ops * SUBLANES, K), jnp.int32)],
         interpret=interpret,
     )
 
     def to_logical(e):
-        return e.reshape(Rp)[:R].reshape(C, G)
+        # (n_ops*8, K) -> (n_ops, C, G)
+        return e.reshape(n_ops, Rp)[:, :R].reshape(n_ops, C, G)
 
     def from_logical(el):
-        return jnp.pad(el.reshape(R), (0, Rp - R)).reshape(SUBLANES, K)
+        flat = el.reshape(n_ops, R)
+        return jnp.pad(flat, ((0, 0), (0, Rp - R))).reshape(
+            n_ops * SUBLANES, K)
 
     def cond(carry):
         _, _, done, it = carry
@@ -383,11 +412,11 @@ def dynamics_pallas_offline(params: DynamicsParams, x: jnp.ndarray,
         el, zl = to_logical(e), to_logical(z)
         # segment 0 keeps its true entry (REST); others take the previous
         # segment's exit. Fixpoint == the serial state trajectory.
-        en = jnp.concatenate([el[:, :1], zl[:, :-1]], axis=1)
+        en = jnp.concatenate([el[:, :, :1], zl[:, :, :-1]], axis=2)
         done = jnp.all(en == el)
         return from_logical(en), out, done, it + 1
 
-    e0 = jnp.zeros((SUBLANES, K), jnp.int32)
+    e0 = jnp.zeros((n_ops * SUBLANES, K), jnp.int32)
     out0 = jnp.zeros((L * SUBLANES, K), jnp.float32)
     _, out, _, _ = jax.lax.while_loop(
         cond, body, (e0, out0, jnp.bool_(False), jnp.int32(0)))
@@ -441,3 +470,39 @@ def fast_gate(cfg, *args, interpret: bool = False, **kwargs) -> Effect:
     from ..ops.dynamics import gate
 
     return _fast_effect(gate(cfg, *args, **kwargs), interpret=interpret)
+
+
+def fused_dynamics(effects, interpret: bool = False) -> Effect:
+    """ONE Effect running a cascade of dynamics automatons (compressor/gate
+    in any order/number) in a single kernel pass: op j+1 consumes op j's
+    per-sample output inside the loop, so an adjacent compressor->gate pair
+    costs one HBM round-trip instead of two. Streaming folds the faithful
+    per-op steps (state = tuple of per-op dicts)."""
+    from ..ops import dynamics as dyn
+
+    params = tuple(e.params for e in effects)
+
+    def offline(params, blocks: jnp.ndarray) -> jnp.ndarray:
+        shape = blocks.shape
+        if blocks.ndim == 2:  # (nb, B) mono
+            x = blocks.reshape(1, -1)
+        elif blocks.ndim == 3:  # (C, nb, B)
+            x = blocks.reshape(shape[0], -1)
+        else:
+            raise ValueError("fused dynamics supports (nb,B) or (C,nb,B)")
+        out = dynamics_pallas_offline(list(params), x, interpret=interpret)
+        return out.reshape(shape)
+
+    def step(params, state, block: jnp.ndarray):
+        new_states = []
+        for p, st in zip(params, state):
+            st, block = dyn.step(p, st, block)
+            new_states.append(st)
+        return tuple(new_states), block
+
+    def init_state(params, batch_shape: tuple[int, ...] = ()):
+        return tuple(dyn.init_state(p, batch_shape) for p in params)
+
+    name = "dynamics_cascade:" + "+".join(e.name for e in effects)
+    return Effect(name=name, params=params, init_state=init_state, step=step,
+                  offline=offline, time_parallel=False)

@@ -149,3 +149,39 @@ def test_spec_dynamics_short_attack_edge():
     _, want = eff.step(eff.params, st, x)
     got = dynamics_pallas_offline(eff.params, x, segments=7, interpret=True)
     assert snr_db(np.asarray(want), np.asarray(got)) > 100.0
+
+
+def test_dynamics_cascade_matches_scan_fold():
+    """fused_dynamics runs compressor->gate in ONE kernel pass; must match
+    folding the two faithful scans (including on a signal with no sync
+    windows)."""
+    from pyaudiodsptools_tpu.kernels.dynamics_pallas import fused_dynamics
+
+    cfg = EngineConfig(44100, 512)
+    comp = ops.compressor(cfg, -18.0, 0.6, 3.1, 30.1)
+    gate = ops.gate(cfg, -45.0, 0.1, 3.1, 200.1)
+    fused = fused_dynamics([comp, gate], interpret=True)
+
+    rng = np.random.default_rng(11)
+    for sig in [
+        (rng.standard_normal((2, 30000)) * 0.3 *
+         (rng.random((2, 30000)) > 0.5)).astype(np.float32),
+        np.tile([0.9, 1e-4], 15000)[None, :].repeat(2, 0).astype(np.float32),
+    ]:
+        x = jnp.asarray(sig)
+        st1 = comp.init_state(comp.params, (2,))
+        st2 = gate.init_state(gate.params, (2,))
+        _, mid = comp.step(comp.params, st1, x)
+        _, want = gate.step(gate.params, st2, mid)
+        got = fused.offline(fused.params, x.reshape(2, -1, 500)).reshape(2, -1)
+        assert snr_db(np.asarray(want), np.asarray(got)) > 100.0
+
+    # streaming fold is the faithful scans verbatim
+    x = jnp.asarray((rng.standard_normal((2, 4000)) * 0.4).astype(np.float32))
+    st = fused.init_state(fused.params, (2,))
+    _, out = fused.step(fused.params, st, x)
+    st1 = comp.init_state(comp.params, (2,))
+    st2 = gate.init_state(gate.params, (2,))
+    _, mid = comp.step(comp.params, st1, x)
+    _, want = gate.step(gate.params, st2, mid)
+    assert bool(jnp.all(out == want))
