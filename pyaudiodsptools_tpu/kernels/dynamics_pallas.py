@@ -476,8 +476,10 @@ def fused_dynamics(effects, interpret: bool = False) -> Effect:
     """ONE Effect running a cascade of dynamics automatons (compressor/gate
     in any order/number) in a single kernel pass: op j+1 consumes op j's
     per-sample output inside the loop, so an adjacent compressor->gate pair
-    costs one HBM round-trip instead of two. Streaming folds the faithful
-    per-op steps (state = tuple of per-op dicts)."""
+    costs one HBM round-trip instead of two. Streaming runs the serial
+    Pallas kernel per op (state = tuple of per-op dicts); with
+    ``interpret=True`` (CPU tests) streaming folds the faithful scans, which
+    is exactly equal."""
     from ..ops import dynamics as dyn
 
     params = tuple(e.params for e in effects)
@@ -496,7 +498,17 @@ def fused_dynamics(effects, interpret: bool = False) -> Effect:
     def step(params, state, block: jnp.ndarray):
         new_states = []
         for p, st in zip(params, state):
-            st, block = dyn.step(p, st, block)
+            if interpret:
+                st, block = dyn.step(p, st, block)
+            elif block.ndim == 1:
+                st1 = {k: v.reshape(1) for k, v in st.items()}
+                st1, out = dynamics_pallas(p, st1, block.reshape(1, -1),
+                                           t_tile=min(1024, block.shape[-1]))
+                st = {k: v.reshape(()) for k, v in st1.items()}
+                block = out.reshape(-1)
+            else:
+                st, block = dynamics_pallas(p, st, block,
+                                            t_tile=min(1024, block.shape[-1]))
             new_states.append(st)
         return tuple(new_states), block
 

@@ -37,8 +37,12 @@ def _wrap(eff: Effect) -> Effect:
 
 
 def annotate_chain(chain: Chain) -> Chain:
-    """A copy of the chain whose ops carry named profiler scopes."""
-    return Chain([_wrap(e) for e in chain.effects])
+    """A copy of the chain whose ops carry named profiler scopes.
+
+    Fusion is disabled so each op stays a separately scoped program region
+    (the point of profiling is per-op attribution; the production chain
+    fuses)."""
+    return Chain([_wrap(e) for e in chain.effects], fuse=False)
 
 
 @contextlib.contextmanager
