@@ -242,28 +242,41 @@ def offline(params: FFTFilterParams, blocks: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@pytree_dataclass(meta_fields=("block_size", "halo", "seg", "halo_stream"))
+@pytree_dataclass(meta_fields=("block_size", "halo", "seg", "halo_stream",
+                               "lead"))
 class FIRParams:
     spectrum: jnp.ndarray      # (2, (halo_stream+1)B//2+1) — streaming window
     spectrum_seg: jnp.ndarray  # (2, (halo+seg)B//2 + 1) — offline segments
     block_size: int
-    halo: int                  # offline segment halo (covers the kernel)
+    halo: int                  # offline segment halo (covers stripped kernel)
     seg: int                   # output blocks per offline FFT window
     halo_stream: int           # streaming history blocks (pow2 window - 1)
+    lead: int                  # stripped zero prefix, re-applied as delay
 
 
 def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
     """An Effect computing ``y = conv(x, kernel)`` (causal, zero-latency
     beyond what the kernel itself encodes). Streaming keeps
     ``ceil((len(kernel)-1)/B)`` history blocks; offline uses the segmented
-    overlap-save path. This is the execution form of a fused LTI cascade."""
+    overlap-save path. This is the execution form of a fused LTI cascade.
+
+    Fused cascades carry a long EXACT-ZERO prefix (each member's latency
+    shift): the offline path strips it and re-applies it as a free output
+    delay, shrinking the convolution halo (and its FFT matmul flops) by the
+    prefix length."""
     B = block_size
-    spec_seg, halo, seg = pack_segmented_kernel(kernel, B)
-    # Streaming window rounded up to a power-of-two block count so the FFT
-    # stays off XLA's slow non-pow2 (Bluestein) path; the extra history
-    # blocks are harmless (larger wrap-free region).
+    kernel = np.asarray(kernel, dtype=np.float64)
+    nz = np.flatnonzero(kernel)
+    lead = int(nz[0]) if nz.size else 0
+    spec_seg, halo, seg = pack_segmented_kernel(
+        kernel[lead:] if nz.size else kernel[:1], B)
+    # Streaming keeps the FULL kernel (leading zeros included — streaming has
+    # no cheap output-shift), with the window rounded up to a power-of-two
+    # block count so the FFT stays off XLA's slow non-pow2 (Bluestein) path;
+    # the extra history blocks are harmless (larger wrap-free region).
+    halo_full = max(1, -(-(len(kernel) - 1) // B))
     w = 1
-    while w < halo + 1:
+    while w < halo_full + 1:
         w *= 2
     halo_stream = w - 1
     stream_len = (halo_stream + 1) * B
@@ -273,6 +286,7 @@ def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
         spectrum=pack_spectrum(spec_stream),
         spectrum_seg=spec_seg,
         block_size=B, halo=halo, seg=seg, halo_stream=halo_stream,
+        lead=lead,
     )
     return Effect(name=name, params=params, init_state=fir_init_state,
                   step=fir_step, offline=fir_offline,
@@ -300,7 +314,7 @@ def fir_step(params: FIRParams, state, block: jnp.ndarray):
 
 
 def fir_offline(params: FIRParams, blocks: jnp.ndarray) -> jnp.ndarray:
-    return segmented_fft_conv(params.spectrum_seg, blocks, 0,
+    return segmented_fft_conv(params.spectrum_seg, blocks, params.lead,
                               params.block_size, params.halo, params.seg)
 
 
