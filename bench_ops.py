@@ -61,7 +61,7 @@ def main() -> None:
         "bitcrusher": ops.bitcrusher(cfg),
         "reverb": ops.reverb(cfg, 1500),
     }
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() == "tpu":
         from pyaudiodsptools_tpu.kernels.dynamics_pallas import (
             fast_compressor, fast_gate)
 

@@ -85,15 +85,15 @@ def fuse_lti_runs(effects: tuple[Effect, ...]) -> tuple[Effect, ...]:
       response is the cascade's (ops/fft_filter.fuse_lti);
     * dynamics automatons (compressor/gate, params is DynamicsParams) ->
       one cascaded speculative kernel pass (kernels.dynamics_pallas
-      .fused_dynamics) — accelerator backends only (the kernel needs a TPU;
-      on CPU the faithful scans stay separate).
+      .fused_dynamics) — TPU backend only (the kernel is Pallas/Mosaic;
+      CPU and GPU keep the faithful scans separate).
     """
     import jax
 
     from ..ops.dynamics import DynamicsParams
     from ..ops.fft_filter import fuse_lti
 
-    fuse_dyn = jax.default_backend() != "cpu"
+    fuse_dyn = jax.default_backend() == "tpu"
 
     def kind(e: Effect) -> str:
         if e.lti_kernel is not None:

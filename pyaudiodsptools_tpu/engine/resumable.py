@@ -6,9 +6,15 @@ chain state every N blocks, and on restart resume from the last complete
 segment. Because every op's state is an explicit pytree, a snapshot is just
 arrays; determinism comes from jit purity.
 
+Crash-safety protocol: every file is written to a temp name and
+``os.replace``d (atomic on POSIX), and ``meta.json`` — written LAST — names
+the exact state file that matches its segment counter. A crash between any
+two writes leaves the previous consistent (meta, state) pair intact, so
+resume never pairs a segment counter with a state from a different segment.
+
 Checkpoint layout (directory):
-    meta.json               {"segment": k, "blocks_done": n}
-    state.npz               flattened chain-state leaves
+    meta.json               {"segment": k, "shape": [...], "state": "..."}
+    state_0000k.npz         chain-state leaves entering segment k
     out_00000.npy ...       rendered output segments
 """
 
@@ -16,17 +22,26 @@ from __future__ import annotations
 
 import json
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .chain import Chain
+from .chain import Chain, chain_step
+
+
+def _atomic_write(path: str, write_fn) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        write_fn(f)
+    os.replace(tmp, path)
 
 
 def _save_state(path: str, state) -> None:
     leaves, _ = jax.tree.flatten(state)
-    np.savez(path, *[np.asarray(l) for l in leaves])
+    _atomic_write(path, lambda f: np.savez(
+        f, *[np.asarray(l) for l in leaves]))
 
 
 def _load_state(path: str, template):
@@ -34,6 +49,17 @@ def _load_state(path: str, template):
     leaves = [jnp.asarray(archive[k]) for k in archive.files]
     _, treedef = jax.tree.flatten(template)
     return jax.tree.unflatten(treedef, leaves)
+
+
+def _render_segment(structure, params, state, seg_blocks):
+    """One checkpointed segment: scan the chain step over its blocks."""
+    xs = jnp.moveaxis(seg_blocks, -2, 0)
+
+    def body(st, blk):
+        return chain_step(structure, params, st, blk)
+
+    state, ys = jax.lax.scan(body, state, xs)
+    return state, jnp.moveaxis(ys, 0, -2)
 
 
 def render_resumable(chain: Chain, blocks: jnp.ndarray, ckpt_dir: str,
@@ -46,7 +72,6 @@ def render_resumable(chain: Chain, blocks: jnp.ndarray, ckpt_dir: str,
     testing crash/resume behavior)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     meta_path = os.path.join(ckpt_dir, "meta.json")
-    state_path = os.path.join(ckpt_dir, "state.npz")
 
     nb = blocks.shape[-2]
     n_seg = -(-nb // segment_blocks)
@@ -55,10 +80,20 @@ def render_resumable(chain: Chain, blocks: jnp.ndarray, ckpt_dir: str,
     start_seg = 0
     state = chain.init_state(batch_shape)
     if os.path.exists(meta_path):
-        meta = json.load(open(meta_path))
-        if meta.get("shape") == list(blocks.shape) and meta["segment"] < n_seg:
+        try:
+            meta = json.load(open(meta_path))
+        except (ValueError, OSError):  # pragma: no cover - atomic writes
+            meta = {}
+        state_file = meta.get("state")
+        if (meta.get("shape") == list(blocks.shape)
+                and meta.get("segment", 0) < n_seg and state_file
+                and os.path.exists(os.path.join(ckpt_dir, state_file))):
             start_seg = meta["segment"]
-            state = _load_state(state_path, state)
+            state = _load_state(os.path.join(ckpt_dir, state_file), state)
+
+    # One traced program per segment length (the tail may be shorter),
+    # shared across all segments of the render.
+    seg_fn = jax.jit(partial(_render_segment, chain._structure))
 
     outs = []
     for seg in range(n_seg):
@@ -69,30 +104,16 @@ def render_resumable(chain: Chain, blocks: jnp.ndarray, ckpt_dir: str,
             continue
         if stop_after is not None and seg >= start_seg + stop_after:
             raise RuntimeError(f"injected fault after segment {seg}")
-        seg_blocks = blocks[..., lo:hi, :]
-        state, out = _render_segment(chain, state, seg_blocks)
-        np.save(seg_path, np.asarray(out))
-        _save_state(state_path, state)
-        json.dump({"segment": seg + 1, "shape": list(blocks.shape)},
-                  open(meta_path, "w"))
+        state, out = seg_fn(chain.params, state, blocks[..., lo:hi, :])
+        _atomic_write(seg_path, lambda f: np.save(f, np.asarray(out)))
+        state_file = f"state_{seg + 1:05d}.npz"
+        _save_state(os.path.join(ckpt_dir, state_file), state)
+        # meta LAST: it only ever references files that already exist.
+        _atomic_write(meta_path, lambda f: f.write(json.dumps(
+            {"segment": seg + 1, "shape": list(blocks.shape),
+             "state": state_file}).encode()))
+        prev = os.path.join(ckpt_dir, f"state_{seg:05d}.npz")
+        if os.path.exists(prev):
+            os.remove(prev)
         outs.append(out)
     return jnp.concatenate(outs, axis=-2)
-
-
-def _render_segment(chain: Chain, state, seg_blocks):
-    """One checkpointed segment: scan the chain step over its blocks."""
-    xs = jnp.moveaxis(seg_blocks, -2, 0)
-
-    def body(st, blk):
-        return _step(chain, st, blk)
-
-    state, ys = jax.lax.scan(body, state, xs)
-    return state, jnp.moveaxis(ys, 0, -2)
-
-
-def _step(chain: Chain, state, block):
-    new_states = []
-    for eff, st in zip(chain.exec_effects, state):
-        st, block = eff.step(eff.params, st, block)
-        new_states.append(st)
-    return tuple(new_states), block

@@ -121,6 +121,11 @@ def _kernel(t_tile, fscal_ref, iscal_ref, x_ref, m0, x0, y0, s0,
         iscal_ref[0, 0],  # x_max
         iscal_ref[0, 1],  # y_max
     )
+    # Remaining VALID samples at this tile's start (padded tail samples must
+    # not touch state). program_id is read at kernel top level — inside the
+    # fori_loop body it cannot lower in interpret mode.
+    tile_start = pl.program_id(0) * t_tile
+    valid = iscal_ref[0, 2]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -134,10 +139,14 @@ def _kernel(t_tile, fscal_ref, iscal_ref, x_ref, m0, x0, y0, s0,
         n_mode, n_x, n_y, n_skip, out_row = _automaton_rows(
             scalars, mode_s[:], xs_s[:], ys_s[:], skip_s[:], row)
         out_ref[pl.ds(i, 1), :] = out_row
-        mode_s[:] = n_mode
-        xs_s[:] = n_x
-        ys_s[:] = n_y
-        skip_s[:] = n_skip
+        # Zero-padding to the tile size must not advance the automaton: the
+        # returned state is the carry for the NEXT streaming block (zeros
+        # would advance ATTACK unconditionally and walk HOLD toward REST).
+        upd = tile_start + i < valid
+        mode_s[:] = jnp.where(upd, n_mode, mode_s[:])
+        xs_s[:] = jnp.where(upd, n_x, xs_s[:])
+        ys_s[:] = jnp.where(upd, n_y, ys_s[:])
+        skip_s[:] = jnp.where(upd, n_skip, skip_s[:])
         return 0
 
     jax.lax.fori_loop(0, t_tile, body, 0)
@@ -174,7 +183,7 @@ def dynamics_pallas(params: DynamicsParams, state, x: jnp.ndarray,
     # Scalar operands (SMEM): params may be jit-traced, so scalars travel as
     # data, not trace-time constants.
     fscal = _pack_fscal(params)
-    iscal = jnp.array([[params.x_max, params.y_max]], dtype=jnp.int32)
+    iscal = jnp.array([[params.x_max, params.y_max, T]], dtype=jnp.int32)
 
     grid = (Tp // t_tile,)
     row_spec = pl.BlockSpec((1, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -183,7 +192,7 @@ def dynamics_pallas(params: DynamicsParams, state, x: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((t_tile, Cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec, row_spec,
         ],

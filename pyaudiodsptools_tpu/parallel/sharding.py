@@ -30,6 +30,25 @@ from ..engine.chain import Chain, scan_offline
 from ..ops.eq3band import offline as _eq3band_offline
 
 
+def _gathered_apply(mesh, init_fn, step_fn, offline_fn, p, blocks):
+    """Run a channel-gathered (non-time-parallel) op under shard_map.
+
+    Recurrent ops run per-device on their local channel shard. This also
+    keeps Pallas kernels (fast/fused dynamics offline) legal on multi-device
+    meshes: pallas_call has no GSPMD partitioning rule, but inside shard_map
+    it only ever sees the device-local block."""
+    spec = P("channel", None, None)
+    pspec = jax.tree.map(lambda _: P(), p)
+
+    def local(p, b):
+        if offline_fn is not None:
+            return offline_fn(p, b)
+        return scan_offline(init_fn, step_fn, p, b)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(pspec, spec),
+                         out_specs=spec, check_vma=False)(p, blocks)
+
+
 def _render_with_constraints(structure, mesh, params, blocks):
     full = NamedSharding(mesh, P("channel", "time", None))
     gathered = NamedSharding(mesh, P("channel", None, None))
@@ -44,12 +63,16 @@ def _render_with_constraints(structure, mesh, params, blocks):
             blocks = jax.lax.with_sharding_constraint(blocks, full)
             blocks = eq3band_offline_sharded(p, blocks, mesh)
             continue
-        want = full if time_parallel else gathered
-        blocks = jax.lax.with_sharding_constraint(blocks, want)
-        if offline_fn is not None:
-            blocks = offline_fn(p, blocks)
+        if time_parallel:
+            blocks = jax.lax.with_sharding_constraint(blocks, full)
+            if offline_fn is not None:
+                blocks = offline_fn(p, blocks)
+            else:
+                blocks = scan_offline(init_fn, step_fn, p, blocks)
         else:
-            blocks = scan_offline(init_fn, step_fn, p, blocks)
+            blocks = jax.lax.with_sharding_constraint(blocks, gathered)
+            blocks = _gathered_apply(mesh, init_fn, step_fn, offline_fn,
+                                     p, blocks)
     return jax.lax.with_sharding_constraint(
         blocks, NamedSharding(mesh, P("channel", "time", None)))
 

@@ -47,6 +47,8 @@ class RealtimeEngine:
         self._stats = native_lib.PumpStats(deadline_ns)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._busy = threading.Event()  # pump holds a popped, unwritten block
+        self.dropped_samples = 0        # output-ring overflow loss (counted)
 
     def start(self) -> None:
         self.processor.warmup()
@@ -69,14 +71,18 @@ class RealtimeEngine:
         return self.out_ring.read(n)
 
     def drain(self, timeout: float = 10.0) -> None:
-        """Block until all queued input has been processed."""
+        """Block until all queued input has been processed AND its output
+        written to the out ring (a popped block in flight counts as queued)."""
         deadline = time.monotonic() + timeout
         B = self.cfg.block_size
-        while self.in_ring.available() >= B and time.monotonic() < deadline:
+        while ((self.in_ring.available() >= B or self._busy.is_set())
+               and time.monotonic() < deadline):
             time.sleep(0.001)
 
     def stats(self) -> dict:
-        return self._stats.snapshot()
+        s = self._stats.snapshot()
+        s["dropped_samples"] = self.dropped_samples
+        return s
 
     def _pump(self) -> None:
         B = self.cfg.block_size
@@ -84,9 +90,21 @@ class RealtimeEngine:
             if self.in_ring.available() < B:
                 time.sleep(0.0005)
                 continue
+            self._busy.set()
             block = self.in_ring.read(B)
             t0 = time.perf_counter_ns()
             out = self.processor.process(block)
             elapsed = time.perf_counter_ns() - t0
             self._stats.record(elapsed)
-            self.out_ring.write(out)
+            # A full out ring means the consumer is behind: retry briefly
+            # rather than silently dropping; count whatever is still lost so
+            # misalignment is observable (stats()['dropped_samples']).
+            written = self.out_ring.write(out)
+            tries = 0
+            while written < len(out) and tries < 200 and not self._stop.is_set():
+                time.sleep(0.0005)
+                written += self.out_ring.write(out[written:])
+                tries += 1
+            if written < len(out):
+                self.dropped_samples += len(out) - written
+            self._busy.clear()

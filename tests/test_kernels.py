@@ -53,3 +53,23 @@ def test_kernel_state_carry():
     for k in ("mode", "x", "y"):
         np.testing.assert_array_equal(np.asarray(b_state[k]),
                                       np.asarray(f_state[k]))
+
+
+def test_kernel_state_carry_nonmultiple_block():
+    """Block length not a multiple of the kernel's time tile: zero padding
+    must not advance the automaton state (regression: padded tail samples
+    previously walked the carry forward)."""
+    cfg = EngineConfig(44100, 1500)  # > t_tile=1024 and not a multiple
+    base = compressor(cfg, -18.0, 0.6)
+    fast = fast_compressor(cfg, -18.0, 0.6, interpret=True)
+
+    x = _burst(2, 1500 * 6, seed=13).reshape(2, 6, 1500)
+    b_state = base.init_state(base.params, (2,))
+    f_state = fast.init_state(fast.params, (2,))
+    for i in range(6):
+        b_state, b_out = base.step(base.params, b_state, x[:, i])
+        f_state, f_out = fast.step(fast.params, f_state, x[:, i])
+        assert snr_db(np.asarray(b_out), np.asarray(f_out)) > 100.0
+    for k in ("mode", "x", "y"):
+        np.testing.assert_array_equal(np.asarray(b_state[k]),
+                                      np.asarray(f_state[k]))
