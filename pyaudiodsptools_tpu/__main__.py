@@ -57,11 +57,15 @@ def main(argv=None) -> int:
                     help="override; default = input file rate")
     ap.add_argument("--trim", action="store_true",
                     help="trim output to input length (no block padding)")
+    ap.add_argument("--segment-blocks", type=int, default=None,
+                    help="bounded-memory exact render: process in segments "
+                         "of this many blocks (for very long inputs)")
     args = ap.parse_args(argv)
 
     from .core import wavio
     from .core.config import EngineConfig
     from .engine import render
+    from .engine.render import render_segmented
     import numpy as np
 
     audio, rate = wavio.read_wav(args.input)
@@ -70,7 +74,12 @@ def main(argv=None) -> int:
     chain = build_chain(cfg, json.loads(args.chain))
 
     t0 = time.perf_counter()
-    out = np.asarray(render(chain, audio, cfg, trim=args.trim))
+    if args.segment_blocks:
+        out = np.asarray(render_segmented(chain, audio, cfg,
+                                          segment_blocks=args.segment_blocks,
+                                          trim=args.trim))
+    else:
+        out = np.asarray(render(chain, audio, cfg, trim=args.trim))
     dt = time.perf_counter() - t0
     wavio.write_wav(args.output, out, cfg.sample_rate)
 

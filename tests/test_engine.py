@@ -191,3 +191,36 @@ def test_render_file_roundtrip(tmp_path):
     assert rate == 44100
     assert audio.shape == out.shape
     assert snr_db(np.clip(out, -1, 1), audio) > 50.0  # int16 quantization of a quiet signal
+
+
+def test_render_segmented_matches_streamed_semantics():
+    """Bounded-memory segmented render must equal the streaming fold
+    (exactly — it IS the step path) and match the offline render within
+    float tolerance."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyaudiodsptools_tpu import Chain, EngineConfig, ops, render
+    from pyaudiodsptools_tpu.engine.render import render_segmented
+    from ref_loader import snr_db
+
+    cfg = EngineConfig(44100, 512)
+    chain = Chain([ops.lowcut(cfg, 300.0), ops.compressor(cfg, -18.0, 0.6),
+                   ops.delay(cfg, 40.0, 2)])
+    rng = np.random.default_rng(17)
+    sig = (rng.standard_normal((2, 512 * 21 + 100)) * 0.3).astype(np.float32)
+
+    seg = np.asarray(render_segmented(chain, sig, cfg, segment_blocks=5))
+    off = np.asarray(render(chain, sig, cfg))
+    assert seg.shape == off.shape
+    assert snr_db(off, seg) > 100.0
+
+    # streaming fold (the semantics render_segmented must reproduce exactly)
+    st = chain.init_state((2,))
+    blocks = np.pad(sig, ((0, 0), (0, (-sig.shape[-1]) % 512))
+                    ).reshape(2, -1, 512)
+    outs = []
+    for i in range(blocks.shape[1]):
+        st, o = chain.step(st, jnp.asarray(blocks[:, i]))
+        outs.append(np.asarray(o))
+    stream = np.concatenate(outs, axis=-1)
+    assert np.array_equal(seg, stream)
