@@ -21,20 +21,30 @@ z = x_a + i*x_b; because the filter kernel is real (conjugate-symmetric
 spectrum), irfft-equivalent recovery is just Re(y) -> conv_a,
 Im(y) -> conv_b. No rfft untangling, exact in infinite precision.
 
-Complex matmuls run as real einsums with ``precision=HIGHEST`` (bf16x6
-passes on v5e ~= true f32): the DFT matrix condition is perfect (unitary),
-measured conv SNR vs jnp.fft is >120 dB.
+Complex matmuls run as real einsums. Precision tiers measured on v5e for a
+full conv (fft -> spectrum multiply -> ifft) vs float64:
+
+    HIGHEST (bf16x6, ~= true f32)   128 dB   <- default
+    HIGH    (bf16x3)                 89 dB   ~1% faster end-to-end
+    DEFAULT (bf16)                   47 dB   rejected (parity bar is 60)
+
+After kernel lead-stripping the matmuls are no longer the chain
+bottleneck, so HIGH's precision tradeoff buys almost nothing — HIGHEST
+stays the default; ``PADT_FFT_PRECISION=high`` opts into bf16x3.
 """
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PREC = jax.lax.Precision.HIGHEST
+_PREC = (jax.lax.Precision.HIGH
+         if os.environ.get("PADT_FFT_PRECISION", "highest").lower() == "high"
+         else jax.lax.Precision.HIGHEST)
 
 
 @lru_cache(maxsize=None)

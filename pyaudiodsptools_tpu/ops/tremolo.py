@@ -24,6 +24,8 @@ from .base import Effect, pytree_dataclass
 @pytree_dataclass(meta_fields=("lfo_length", "block_size"))
 class TremoloParams:
     lfo: jnp.ndarray       # one LFO period, float32, (lfo_length,)
+    omega: jnp.ndarray     # 2*pi*lfo_hz/sample_rate (f32 scalar)
+    depth: jnp.ndarray     # f32 scalar
     lfo_length: int
     block_size: int
 
@@ -37,7 +39,10 @@ def tremolo(cfg: EngineConfig, depth: float = 0.4, lfo_hz: float = 4.5) -> Effec
     lfo = np.float32(
         (((np.sin(2 * np.pi * lfo_hz * t / sr) / 2) + 0.5) * depth) + (1 - depth)
     )
-    params = TremoloParams(lfo=jnp.asarray(lfo), lfo_length=length,
+    params = TremoloParams(lfo=jnp.asarray(lfo),
+                           omega=jnp.float32(2 * np.pi * lfo_hz / sr),
+                           depth=jnp.float32(depth),
+                           lfo_length=length,
                            block_size=cfg.block_size)
     return Effect(name="tremolo", params=params, init_state=init_state,
                   step=step, offline=offline)
@@ -105,5 +110,11 @@ def offline(params: TremoloParams, blocks: jnp.ndarray) -> jnp.ndarray:
     nb, n = blocks.shape[-2], blocks.shape[-1]
     phases = jnp.asarray(phase_schedule(params, nb, n), dtype=jnp.int32)
     idx = (phases[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]) % params.lfo_length
-    gains = params.lfo[idx]  # (nb, n)
+    # Arithmetic LFO instead of a table gather: big gathers are ~10x the
+    # elementwise cost on TPU. The reference's table is float32(sin(...))
+    # of the SAME mod-L index (periodicity is only exact when sr/lfo_hz is
+    # an integer, hence the explicit mod); computing sin in f32 on device
+    # differs from the f64-built table by ulps (>130 dB, bound is 60).
+    ph = idx.astype(jnp.float32) * params.omega
+    gains = (jnp.sin(ph) * 0.5 + 0.5) * params.depth + (1.0 - params.depth)
     return (blocks * gains).astype(jnp.float32)
