@@ -1,0 +1,154 @@
+"""Fully-fused Pallas TPU kernel for the segmented FFT convolution.
+
+kernels/matmul_fft.py runs the 4-step FFT as XLA einsums — correct and
+faster than XLA's VPU FFT, but every stage round-trips its intermediate
+through HBM (~7 tensor-sized passes per convolution plus layout changes),
+which dominates the cost. This kernel keeps a group of windows resident in
+VMEM through ALL stages — forward DFT matmuls, twiddle, spectrum multiply,
+inverse — so HBM sees exactly one read of the windows and one write of the
+results. DFT matmuls run on the MXU with ``precision=HIGHEST`` (measured
+~140 dB per matmul on v5e).
+
+Layout: windows are packed two-real-rows-per-complex-signal like
+matmul_fft.conv_pairs. Host side arranges P pairs per grid step as a 2D
+block ``(n1, 2*P*n2)`` whose column halves are [real | imag] parts, pairs
+minor — the whole kernel then works on plain 2D VMEM arrays (matmuls and
+contiguous column slices only; no in-kernel transposes or 4D relayouts).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .matmul_fft import _plan
+
+# Mosaic only lowers DEFAULT and HIGHEST dot precisions (HIGH raises
+# NotImplementedError in-kernel), so the PADT_FFT_PRECISION=high knob
+# applies to the einsum path only; this kernel always runs full f32.
+_HI = jax.lax.Precision.HIGHEST
+
+
+@lru_cache(maxsize=None)
+def _consts_np(n: int, pairs: int):
+    """f32 numpy constants for size n with P pairs per step: DFT matrices
+    plus the twiddle and (empty) spectrum tiles repeated per pair."""
+    n1, n2 = _plan(n)
+    k1, k2 = np.arange(n1), np.arange(n2)
+    f1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)
+    f2 = np.exp(-2j * np.pi * np.outer(k2, k2) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(k1, k2) / n)
+    twr = np.tile(tw.real.astype(np.float32), (1, pairs))   # (n1, P*n2)
+    twi = np.tile(tw.imag.astype(np.float32), (1, pairs))
+    c = lambda a: (a.real.astype(np.float32), a.imag.astype(np.float32))
+    return c(f1), c(f2), (twr, twi)
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, precision=_HI, preferred_element_type=jnp.float32)
+
+
+def _kernel(n1, n2, P, x_ref, f1r, f1i, f2r, f2i, twr, twi, hr, hi, out_ref):
+    h = P * n2  # column half: [0:h) = real parts, [h:2h) = imag parts
+    X = x_ref[:]  # (n1, 2h)
+
+    # stage 1: contract n1. One matmul of the full block per DFT part —
+    # real and imaginary columns ride the same product.
+    A = _mm(f1r[:], X)
+    B = _mm(f1i[:], X)
+    yr = A[:, :h] - B[:, h:]
+    yi = A[:, h:] + B[:, :h]
+
+    # twiddle (pair-tiled (n1, h))
+    cr = yr * twr[:] - yi * twi[:]
+    ci = yr * twi[:] + yi * twr[:]
+
+    # stage 2: contract n2 (rows (n1*P, n2))
+    cr2 = cr.reshape(n1 * P, n2)
+    ci2 = ci.reshape(n1 * P, n2)
+    xr = _mm(cr2, f2r[:]) - _mm(ci2, f2i[:])
+    xi = _mm(cr2, f2i[:]) + _mm(ci2, f2r[:])
+
+    # spectrum multiply (h tiled to rows (n1*P, n2))
+    ur = xr * hr[:] - xi * hi[:]
+    ui = xr * hi[:] + xi * hr[:]
+
+    # inverse stage 2: multiply by conj(F2)
+    vr = _mm(ur, f2r[:]) + _mm(ui, f2i[:])
+    vi = _mm(ui, f2r[:]) - _mm(ur, f2i[:])
+
+    # inverse twiddle (conjugate)
+    vr = vr.reshape(n1, h)
+    vi = vi.reshape(n1, h)
+    wr = vr * twr[:] + vi * twi[:]
+    wi = vi * twr[:] - vr * twi[:]
+
+    # inverse stage 1: conj(F1) @ W, scaled by 1/n
+    zr = (_mm(f1r[:], wr) + _mm(f1i[:], wi)) * (1.0 / (n1 * n2))
+    zi = (_mm(f1r[:], wi) - _mm(f1i[:], wr)) * (1.0 / (n1 * n2))
+    out_ref[:] = jnp.concatenate([zr, zi], axis=1)
+
+
+def conv_pairs_fused(flat: jnp.ndarray, packed_rfft: jnp.ndarray, n: int,
+                     pairs_per_step: int = 4,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for matmul_fft.conv_pairs: circular convolution of real rows
+    (B, n) with a real kernel's packed rfft, one fused kernel pass."""
+    n1, n2 = _plan(n)
+    P = pairs_per_step
+    B = flat.shape[0]
+    rows_per_group = 2 * P
+    pad_rows = (-B) % rows_per_group
+    if pad_rows:
+        flat = jnp.pad(flat, ((0, pad_rows), (0, 0)))
+    ng = flat.shape[0] // rows_per_group  # grid length
+
+    # (ng, P, 2, n1, n2) -> (n1, ng, 2, P, n2): per group the columns are
+    # [P real rows | P imag rows], pairs minor — a contiguous 2D block.
+    xk = flat.reshape(ng, P, 2, n1, n2)
+    xk = jnp.transpose(xk, (3, 0, 2, 1, 4)).reshape(n1, ng * 2 * P * n2)
+
+    (f1r, f1i), (f2r, f2i), (twr, twi) = _consts_np(n, P)
+
+    # spectrum in grid layout, tiled per pair as rows (n1*P, n2)
+    hr_half, hi_half = packed_rfft[0], packed_rfft[1]
+    hr_full = jnp.concatenate([hr_half, hr_half[1:-1][::-1]])
+    hi_full = jnp.concatenate([hi_half, -hi_half[1:-1][::-1]])
+    hg_r = hr_full.reshape(n2, n1).T  # (n1, n2)
+    hg_i = hi_full.reshape(n2, n1).T
+    hrow_r = jnp.tile(hg_r[:, None, :], (1, P, 1)).reshape(n1 * P, n2)
+    hrow_i = jnp.tile(hg_i[:, None, :], (1, P, 1)).reshape(n1 * P, n2)
+
+    blk = 2 * P * n2
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_kernel, n1, n2, P),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((n1, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            const2((n1, n1)), const2((n1, n1)),
+            const2((n2, n2)), const2((n2, n2)),
+            const2((n1, P * n2)), const2((n1, P * n2)),
+            const2((n1 * P, n2)), const2((n1 * P, n2)),
+        ],
+        out_specs=pl.BlockSpec((n1, blk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n1, ng * blk), jnp.float32),
+        # the stage intermediates' peak live set exceeds the default 16 MB
+        # scoped budget; v5e has 128 MB of physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xk, jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(f2r),
+      jnp.asarray(f2i), jnp.asarray(twr), jnp.asarray(twi), hrow_r, hrow_i)
+
+    out = out.reshape(n1, ng, 2, P, n2)
+    out = jnp.transpose(out, (1, 3, 2, 0, 4)).reshape(ng * rows_per_group, n)
+    return out[:B].astype(jnp.float32)

@@ -153,7 +153,14 @@ def batched_rfft_filter(window: jnp.ndarray, spectrum: jnp.ndarray,
     from ..kernels import matmul_fft
 
     if matmul_fft.use_mxu_fft(n) and flat.shape[-1] == n:
-        out = matmul_fft.conv_pairs(flat, spectrum, n)
+        if jax.default_backend() == "tpu":
+            # fully-fused Pallas kernel: one HBM read/write per window,
+            # all DFT stages VMEM-resident (~2x the einsum form)
+            from ..kernels.pallas_conv import conv_pairs_fused
+
+            out = conv_pairs_fused(flat, spectrum, n)
+        else:
+            out = matmul_fft.conv_pairs(flat, spectrum, n)
     else:
         h = unpack_spectrum(spectrum)
         out = jnp.fft.irfft(jnp.fft.rfft(flat, axis=-1) * h, n=n, axis=-1)
@@ -177,10 +184,14 @@ def step(params: FFTFilterParams, state, block: jnp.ndarray):
 
 def plan_segments(kernel_len: int, block_size: int) -> tuple[int, int]:
     """(halo_blocks, seg_blocks) for a kernel of this length: halo covers the
-    kernel, window = halo + seg is a power-of-two block count >= 8."""
+    kernel, window = halo + seg is a power-of-two block count >= 8 and
+    >= 4x the halo. The 4x floor keeps the wasted window fraction <= 1/4 —
+    the conv is HBM-bound on intermediates, and measured on v5e a halo=3
+    kernel runs ~25% faster at total=16 than total=8 (flops grow only
+    logarithmically; intermediate bytes scale with total/(total-halo))."""
     halo = max(1, -(-(kernel_len - 1) // block_size))
     total = 8
-    while total < 2 * halo:
+    while total < 4 * halo:
         total *= 2
     return halo, total - halo
 

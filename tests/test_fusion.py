@@ -185,3 +185,21 @@ def test_dynamics_cascade_matches_scan_fold():
     _, mid = comp.step(comp.params, st1, x)
     _, want = gate.step(gate.params, st2, mid)
     assert bool(jnp.all(out == want))
+
+
+@pytest.mark.parametrize("n,B,P", [(16384, 5, 2), (32768, 7, 4), (65536, 4, 8)])
+def test_pallas_fused_conv_matches_fft(n, B, P):
+    """The fully-fused Pallas conv kernel must equal irfft(rfft*H),
+    including odd batch sizes (group padding) across sizes/pair counts."""
+    from pyaudiodsptools_tpu.kernels.pallas_conv import conv_pairs_fused
+
+    rng = np.random.default_rng(n % 97)
+    x = rng.standard_normal((B, n)).astype(np.float32)
+    k = rng.standard_normal(2000) / 100.0
+    H = np.fft.rfft(np.concatenate([k, np.zeros(n - len(k))]))
+    packed = jnp.asarray(np.stack([H.real, H.imag]).astype(np.float32))
+    want = np.fft.irfft(np.fft.rfft(x, axis=-1) * H, n=n, axis=-1)
+    got = np.asarray(conv_pairs_fused(jnp.asarray(x), packed, n,
+                                      pairs_per_step=P, interpret=True))
+    assert got.shape == (B, n)
+    assert snr_db(want.astype(np.float32), got) > 100.0
