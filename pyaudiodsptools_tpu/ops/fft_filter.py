@@ -227,17 +227,17 @@ def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
     nb = blocks.shape[-2]
     n_seg = -(-nb // G)
     x = blocks.reshape(lead + (nb * B,))
-    # left halo blocks + right padding to whole segments
-    x = jnp.pad(x, [(0, 0)] * len(lead) + [(H * B, (n_seg * G - nb) * B)])
+    # Left padding = halo + the output delay: gathering every window `shift`
+    # samples earlier makes its wrap-free region land exactly on
+    # y[m] = conv[m - shift], so no post-conv shift pass is needed.
+    x = jnp.pad(x, [(0, 0)] * len(lead)
+                + [(H * B + shift, (n_seg * G - nb) * B)])
     starts = [s * G * B for s in range(n_seg)]
     windows = jnp.stack(
         [x[..., st : st + (G + H) * B] for st in starts], axis=-2
     )  # (..., n_seg, (G+H)B)
     conv = batched_rfft_filter(windows, spectrum_seg, (G + H) * B)
     y = conv[..., H * B :].reshape(lead + (n_seg * G * B,))[..., : nb * B]
-    if shift:
-        y = jnp.pad(y[..., : nb * B - shift],
-                    [(0, 0)] * len(lead) + [(shift, 0)])
     return y.reshape(lead + (nb, B)).astype(jnp.float32)
 
 
