@@ -53,9 +53,12 @@ def _mm(a, b):
     return jnp.dot(a, b, precision=_HI, preferred_element_type=jnp.float32)
 
 
-def _kernel(n1, n2, P, x_ref, f1r, f1i, f2r, f2i, twr, twi, hr, hi, out_ref):
+def _conv_math(n1, n2, P, X, f1r, f1i, f2r, f2i, twr, twi, hr, hi):
+    """All DFT stages on a VMEM-resident block X (n1, 2*P*n2) whose column
+    halves are [real | imag] parts, pairs minor. Returns (zr, zi), each
+    (n1, P*n2): the time-domain circular convolutions in natural row-major
+    sample order per pair column slab."""
     h = P * n2  # column half: [0:h) = real parts, [h:2h) = imag parts
-    X = x_ref[:]  # (n1, 2h)
 
     # stage 1: contract n1. One matmul of the full block per DFT part —
     # real and imaginary columns ride the same product.
@@ -91,6 +94,12 @@ def _kernel(n1, n2, P, x_ref, f1r, f1i, f2r, f2i, twr, twi, hr, hi, out_ref):
     # inverse stage 1: conj(F1) @ W, scaled by 1/n
     zr = (_mm(f1r[:], wr) + _mm(f1i[:], wi)) * (1.0 / (n1 * n2))
     zi = (_mm(f1r[:], wi) - _mm(f1i[:], wr)) * (1.0 / (n1 * n2))
+    return zr, zi
+
+
+def _kernel(n1, n2, P, x_ref, f1r, f1i, f2r, f2i, twr, twi, hr, hi, out_ref):
+    zr, zi = _conv_math(n1, n2, P, x_ref[:], f1r, f1i, f2r, f2i, twr, twi,
+                        hr, hi)
     out_ref[:] = jnp.concatenate([zr, zi], axis=1)
 
 
@@ -152,3 +161,145 @@ def conv_pairs_fused(flat: jnp.ndarray, packed_rfft: jnp.ndarray, n: int,
     out = out.reshape(n1, ng, 2, P, n2)
     out = jnp.transpose(out, (1, 3, 2, 0, 4)).reshape(ng * rows_per_group, n)
     return out[:B].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# v2: segmented convolution with IN-KERNEL windowing (manual HBM DMA)
+# ---------------------------------------------------------------------------
+#
+# conv_pairs_fused still needs its overlapping windows materialized and
+# relaid-out by XLA before the kernel runs (a jnp.stack of (G+H)B-sample
+# slices plus two full-tensor transposes) — ~5 signal-sized HBM passes of
+# pure data movement around a compute-bound kernel. This kernel removes all
+# of it: the flat padded signal stays in HBM; each grid step DMAs its 2P
+# overlapping windows straight into the VMEM compute layout (a window is a
+# contiguous (n1, n2) slice of the signal viewed as rows of n2 samples,
+# because the 4-step's stage-1 operand IS the window reshaped row-major),
+# and DMAs only the wrap-free region of each result back. HBM sees
+# (G+H)/G reads and exactly one write of the signal — nothing else.
+
+
+def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows,
+                f1r, f1i, f2r, f2i, twr, twi, hr, hi, x_hbm,
+                out_hbm, xscr, zscr, lsem, ssem):
+    c = pl.program_id(0)
+    g = pl.program_id(1)
+    base = g * 2 * P
+
+    # Column slab of signal p within the [P real | P imag] block layout:
+    # pair q = p // 2 packs segments (base+2q) as real, (base+2q+1) as imag.
+    def col(p):
+        return ((p % 2) * P + p // 2) * n2
+
+    loads = []
+    for p in range(2 * P):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[c, pl.ds((base + p) * win_rows, n1), :],
+            xscr.at[:, pl.ds(col(p), n2)],
+            lsem.at[p])
+        dma.start()
+        loads.append(dma)
+    for dma in loads:
+        dma.wait()
+
+    zr, zi = _conv_math(n1, n2, P, xscr[:], f1r, f1i, f2r, f2i, twr, twi,
+                        hr, hi)
+    zscr[:] = jnp.concatenate([zr, zi], axis=1)
+
+    stores = []
+    for p in range(2 * P):
+        dma = pltpu.make_async_copy(
+            zscr.at[pl.ds(halo_rows, grows), pl.ds(col(p), n2)],
+            out_hbm.at[c, base + p],
+            ssem.at[p])
+        dma.start()
+        stores.append(dma)
+    for dma in stores:
+        dma.wait()
+
+
+def use_fused_dma(n: int, block_size: int) -> bool:
+    """Eligibility for the in-kernel-windowed path: MXU-worthy pow2 size and
+    window geometry expressible as whole (.., n2) rows."""
+    from .matmul_fft import use_mxu_fft
+
+    if not use_mxu_fft(n):
+        return False
+    n2 = _plan(n)[1]
+    return block_size % n2 == 0
+
+
+def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
+                         block_size: int, halo: int, seg: int, shift: int,
+                         pairs_per_step: int = 4,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Segmented overlap-save linear convolution with output delay, fully
+    in-kernel: ``y[m] = conv(x, h)[m - shift]`` per channel.
+
+    x: (C, T) float32; packed_rfft: (2, n//2+1) with n = (halo+seg)*B.
+    Windows of n samples at stride seg*B (left halo covering the kernel) are
+    gathered by DMA inside the kernel; only each window's wrap-free last
+    seg*B samples are written back. Returns (C, T) float32.
+    """
+    B = block_size
+    n = (halo + seg) * B
+    n1, n2 = _plan(n)
+    P = pairs_per_step
+    C, T = x.shape
+    seg_len = seg * B
+    assert B % n2 == 0 and n1 * n2 == n
+
+    n_seg = -(-T // seg_len)
+    S = -(-n_seg // (2 * P)) * (2 * P)  # segments padded per channel
+    # Padded signal: window s reads [s*seg_len, s*seg_len + n); data starts
+    # at halo*B + shift (gathering each window `shift` early lands its
+    # wrap-free region exactly on the delayed output, fft_filter.py docs).
+    lead = halo * B + shift
+    L = max((S - 1) * seg_len + n, lead + T)
+    L = -(-L // n2) * n2
+    xp = jnp.pad(x, ((0, 0), (lead, L - lead - T)))
+    x3 = xp.reshape(C, L // n2, n2)
+
+    (f1r, f1i), (f2r, f2i), (twr, twi) = _consts_np(n, P)
+
+    # spectrum tiled per pair as rows (n1*P, n2) — same grid layout as v1
+    hr_half, hi_half = packed_rfft[0], packed_rfft[1]
+    hr_full = jnp.concatenate([hr_half, hr_half[1:-1][::-1]])
+    hi_full = jnp.concatenate([hi_half, -hi_half[1:-1][::-1]])
+    hg_r = hr_full.reshape(n2, n1).T
+    hg_i = hi_full.reshape(n2, n1).T
+    hrow_r = jnp.tile(hg_r[:, None, :], (1, P, 1)).reshape(n1 * P, n2)
+    hrow_i = jnp.tile(hg_i[:, None, :], (1, P, 1)).reshape(n1 * P, n2)
+
+    halo_rows = halo * B // n2
+    win_rows = seg_len // n2
+    grows = n1 - halo_rows  # wrap-free rows per window = seg_len // n2
+
+    const2 = lambda shape: pl.BlockSpec(shape, lambda c, g: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out = pl.pallas_call(
+        partial(_kernel_dma, n1, n2, P, halo_rows, win_rows, grows),
+        grid=(C, S // (2 * P)),
+        in_specs=[
+            const2((n1, n1)), const2((n1, n1)),
+            const2((n2, n2)), const2((n2, n2)),
+            const2((n1, P * n2)), const2((n1, P * n2)),
+            const2((n1 * P, n2)), const2((n1 * P, n2)),
+            any_spec,
+        ],
+        out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct((C, S, grows, n2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n1, 2 * P * n2), jnp.float32),
+            pltpu.VMEM((n1, 2 * P * n2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * P,)),
+            pltpu.SemaphoreType.DMA((2 * P,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(f2r), jnp.asarray(f2i),
+      jnp.asarray(twr), jnp.asarray(twi), hrow_r, hrow_i, x3)
+
+    return out.reshape(C, S * seg_len)[:, :T]

@@ -227,6 +227,17 @@ def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
     nb = blocks.shape[-2]
     n_seg = -(-nb // G)
     x = blocks.reshape(lead + (nb * B,))
+
+    if jax.default_backend() == "tpu":
+        # In-kernel-windowed Pallas path: the window gather, layout changes,
+        # and output slice all happen as DMAs inside the kernel — HBM sees
+        # (G+H)/G reads and one write of the signal, nothing else.
+        from ..kernels.pallas_conv import segmented_conv_fused, use_fused_dma
+
+        if use_fused_dma((G + H) * B, B):
+            flat = x.reshape((-1, nb * B))
+            y = segmented_conv_fused(flat, spectrum_seg, B, H, G, shift)
+            return y.reshape(lead + (nb, B)).astype(jnp.float32)
     # Left padding = halo + the output delay: gathering every window `shift`
     # samples earlier makes its wrap-free region land exactly on
     # y[m] = conv[m - shift], so no post-conv shift pass is needed.

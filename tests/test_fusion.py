@@ -203,3 +203,32 @@ def test_pallas_fused_conv_matches_fft(n, B, P):
                                       pairs_per_step=P, interpret=True))
     assert got.shape == (B, n)
     assert snr_db(want.astype(np.float32), got) > 100.0
+
+
+@pytest.mark.parametrize("C,nb,klen,shift", [
+    (3, 25, 4000, 1371),   # odd segment count -> group padding; big shift
+    (1, 6, 1, 0),          # identity kernel, single short channel
+    (2, 48, 4096, 2048),   # kernel exactly filling the halo
+])
+def test_segmented_conv_fused_matches_oracle(C, nb, klen, shift):
+    """The in-kernel-windowed segmented conv (manual HBM DMA of overlapping
+    windows + wrap-free writeback) must equal the delayed linear convolution
+    y[m] = conv(x, k)[m - shift] — the same contract segmented_fft_conv
+    implements with XLA-side window stacking."""
+    from pyaudiodsptools_tpu.kernels.pallas_conv import segmented_conv_fused
+    from pyaudiodsptools_tpu.ops.fft_filter import pack_spectrum
+
+    B, halo, seg = 2048, 2, 6  # n = 16384
+    n = (halo + seg) * B
+    rng = np.random.default_rng(klen % 89)
+    x = rng.standard_normal((C, nb * B)).astype(np.float32)
+    k = rng.standard_normal(klen) * 0.1
+    spec = pack_spectrum(np.fft.rfft(np.concatenate([k, np.zeros(n - klen)])))
+    got = np.asarray(segmented_conv_fused(jnp.asarray(x), spec, B, halo, seg,
+                                          shift, interpret=True))
+    ref = np.stack([np.convolve(x[c], k)[: nb * B] for c in range(C)])
+    if shift:
+        ref = np.concatenate([np.zeros((C, shift)), ref[:, : nb * B - shift]],
+                             axis=1)
+    assert got.shape == x.shape
+    assert snr_db(ref.astype(np.float32), got) > 100.0
