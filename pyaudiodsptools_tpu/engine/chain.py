@@ -53,6 +53,13 @@ class Chain:
         self.params = tuple(e.params for e in self._exec_effects)
         self._jit_step = jax.jit(partial(chain_step, self._structure))
         self._jit_render = jax.jit(partial(chain_render, self._structure))
+        # Donating variant: XLA reuses the input blocks' HBM for the first
+        # intermediate, cutting the render's high-water memory by one full
+        # signal buffer. Step state is NOT donated: state pytrees may alias
+        # buffers across leaves (shared zeros at init, XLA output CSE), and
+        # re-donating a shared buffer is a hard runtime error.
+        self._jit_render_donate = jax.jit(
+            partial(chain_render, self._structure), donate_argnums=(1,))
 
     def __iter__(self):
         return iter(self.effects)
@@ -73,8 +80,15 @@ class Chain:
         block shape)."""
         return self._jit_step(self.params, state, block)
 
-    def render_blocks(self, blocks: jnp.ndarray) -> jnp.ndarray:
-        """Offline: process all ``(..., num_blocks, block_size)`` blocks."""
+    def render_blocks(self, blocks: jnp.ndarray,
+                      donate: bool = False) -> jnp.ndarray:
+        """Offline: process all ``(..., num_blocks, block_size)`` blocks.
+
+        ``donate=True`` hands ownership of ``blocks`` to the render (the
+        caller must not use it afterwards); saves one signal-sized HBM
+        buffer on large renders."""
+        if donate:
+            return self._jit_render_donate(self.params, blocks)
         return self._jit_render(self.params, blocks)
 
 

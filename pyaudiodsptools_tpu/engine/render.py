@@ -22,7 +22,8 @@ def render(chain: Chain, signal, cfg: EngineConfig, trim: bool = False):
     signal = jnp.asarray(signal)
     n = signal.shape[-1]
     blocks = blk.make_blocks(signal, cfg.block_size)
-    out = chain.render_blocks(blocks)
+    # blocks is freshly built and never reused -> donate its buffer.
+    out = chain.render_blocks(blocks, donate=True)
     return blk.combine_blocks(out, n if trim else None)
 
 

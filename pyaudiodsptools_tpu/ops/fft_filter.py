@@ -350,14 +350,3 @@ def fuse_lti(effects, name: str = "fir_cascade") -> Effect:
     kernel = reduce(np.convolve, kernels)
     B = getattr(effects[0].params, "block_size")
     return fir(kernel, B, name=name + ":" + "+".join(e.name for e in effects))
-
-
-def offline_windows(params: FFTFilterParams, blocks: jnp.ndarray) -> jnp.ndarray:
-    """The literal 3-block-window form (one window per output block). Kept as
-    the reference-shaped alternative; same results as ``offline``."""
-    pad = [(0, 0)] * (blocks.ndim - 2) + [(2, 0), (0, 0)]
-    bp = jnp.pad(blocks, pad)
-    windows = jnp.concatenate(
-        [bp[..., :-2, :], bp[..., 1:-1, :], bp[..., 2:, :]], axis=-1
-    )
-    return _filter_window(params, windows)
