@@ -33,8 +33,8 @@ from . import fft_filter
                                "block_size", "use_lowcut", "use_highcut"))
 class DelayParams:
     ramp: jnp.ndarray                    # (feedback_loops,)
-    lowcut: fft_filter.FFTFilterParams | None
-    highcut: fft_filter.FFTFilterParams | None
+    lowcut: fft_filter.FIRParams | None
+    highcut: fft_filter.FIRParams | None
     time_in_samples: int
     feedback_loops: int
     wet: bool
@@ -96,17 +96,17 @@ def init_state(params: DelayParams, batch_shape: tuple[int, ...] = ()):
     state = {"buffer": jnp.zeros(batch_shape + (_buffer_len(params),),
                                  dtype=jnp.float32)}
     if params.use_lowcut:
-        state["lowcut"] = fft_filter.init_state(params.lowcut, batch_shape)
+        state["lowcut"] = fft_filter.fir_init_state(params.lowcut, batch_shape)
     if params.use_highcut:
-        state["highcut"] = fft_filter.init_state(params.highcut, batch_shape)
+        state["highcut"] = fft_filter.fir_init_state(params.highcut, batch_shape)
     return state
 
 
 def _prefilter_step(params: DelayParams, state, block):
     if params.use_lowcut:
-        state["lowcut"], block = fft_filter.step(params.lowcut, state["lowcut"], block)
+        state["lowcut"], block = fft_filter.fir_step(params.lowcut, state["lowcut"], block)
     if params.use_highcut:
-        state["highcut"], block = fft_filter.step(params.highcut, state["highcut"], block)
+        state["highcut"], block = fft_filter.fir_step(params.highcut, state["highcut"], block)
     return state, block
 
 
@@ -130,9 +130,9 @@ def step(params: DelayParams, state, block: jnp.ndarray):
 
 def offline(params: DelayParams, blocks: jnp.ndarray) -> jnp.ndarray:
     if params.use_lowcut:
-        blocks = fft_filter.offline(params.lowcut, blocks)
+        blocks = fft_filter.fir_offline(params.lowcut, blocks)
     if params.use_highcut:
-        blocks = fft_filter.offline(params.highcut, blocks)
+        blocks = fft_filter.fir_offline(params.highcut, blocks)
     nb, B = blocks.shape[-2], blocks.shape[-1]
     n = nb * B
     x = blocks.reshape(blocks.shape[:-2] + (n,))

@@ -6,11 +6,14 @@ sinc FIR, zero-padded to ``3*block_size``, applied by overlap-save fast
 convolution over a 3-block sliding window, introducing exactly one block of
 latency.
 
-TPU-first design: the filter *spectrum* is a parameter built once on host in
-float64 (rfft form, complex64 on device). Streaming keeps the two previous
-blocks as explicit state; the offline path materializes all 3-block windows at
-once and runs one batched rfft/irfft over ``(..., num_blocks, 3B)`` — the whole
-render is a single fused XLA computation rather than a per-chunk Python loop.
+TPU-first design: the device's *effective impulse response* (windowed sinc at
+its one-block latency shift) is built once on host in float64 and executed by
+the generic ``fir`` machinery below: streaming uses a power-of-two window
+(history blocks + current) so the step takes the MXU/fused-conv tier instead
+of XLA's VPU FFT at the reference's non-pow2 3B size; offline runs the
+segmented overlap-save convolution with the exact-zero latency prefix stripped
+and re-applied as a free output delay. One code path serves the named filters,
+fused LTI cascades, reverbs, and FIR-ized IIR responses alike.
 """
 
 from __future__ import annotations
@@ -46,21 +49,6 @@ def sinc_kernel(cutoff_hz: float, sample_rate: float, filter_length: int,
     return h
 
 
-def overlap_save_spectrum(kernel: np.ndarray, block_size: int) -> np.ndarray:
-    """Zero-pad a FIR kernel to ``3*block_size`` and return its rfft.
-
-    Matches the reference's two-step padding to exactly 3N
-    (EffectFFTFilter.py:45-47). The reference keeps a full complex fft; the
-    rfft form is mathematically identical for the real signal path and halves
-    the spectrum bandwidth.
-    """
-    fl = len(kernel)
-    padded = np.concatenate([kernel, np.zeros(block_size - fl + 1)])
-    padded = np.concatenate([padded, np.zeros(len(padded) * 2 - 3)])
-    assert len(padded) == 3 * block_size
-    return np.fft.rfft(padded)
-
-
 # Segmented offline convolution: G output blocks per (G+1)-block FFT window
 # (1-block left halo covers any kernel < B). (G+1)*B is a power of two when
 # B is, keeping XLA's FFT on its fast path.
@@ -83,40 +71,18 @@ def unpack_spectrum(packed: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(packed[0], packed[1])
 
 
-@pytree_dataclass(meta_fields=("block_size", "slice_start", "slice_end",
-                               "shift"))
-class FFTFilterParams:
-    spectrum: jnp.ndarray      # (2, 3B//2 + 1) f32 — streaming window form
-    spectrum_seg: jnp.ndarray  # (2, (G+1)B//2 + 1) f32 — offline segments
-    block_size: int
-    slice_start: int
-    slice_end: int
-    shift: int                 # output delay vs pure convolution: B - fl//2
-
-
-def _filter_params(kernel: np.ndarray, B: int, fl: int) -> FFTFilterParams:
-    seg_len = (SEGMENT_BLOCKS + 1) * B
-    seg = np.fft.rfft(np.concatenate([kernel, np.zeros(seg_len - len(kernel))]))
-    return FFTFilterParams(
-        spectrum=pack_spectrum(overlap_save_spectrum(kernel, B)),
-        spectrum_seg=pack_spectrum(seg),
-        block_size=B,
-        # Output slice [B + fl//2 : 3B - (B - fl//2)] — EffectFFTFilter.py:24-25,73.
-        slice_start=B + fl // 2,
-        slice_end=B - fl // 2,
-        shift=B - fl // 2,
-    )
-
-
 def _make(cfg: EngineConfig, cutoff_hz: float, invert: bool, name: str) -> Effect:
     B = cfg.block_size
     fl = (B // 2) - 1
     kernel = sinc_kernel(cutoff_hz, cfg.sample_rate, fl, "blackman", invert)
-    params = _filter_params(kernel, B, fl)
     # Effective impulse response incl. the 1-block latency: y = conv(x, e).
+    # The output slice [B + fl//2 : 3B - (B - fl//2)] of the reference's
+    # wrap-free 3B overlap-save (EffectFFTFilter.py:24-25,73) IS
+    # y[m] = conv(x, kernel)[m - (B - fl//2)], so executing the shifted
+    # kernel as a causal FIR reproduces it exactly (zero history = zero
+    # initial state on both sides).
     eff_kernel = np.concatenate([np.zeros(B - fl // 2), kernel])
-    return Effect(name=name, params=params, init_state=init_state, step=step,
-                  offline=offline, lti_kernel=eff_kernel)
+    return fir(eff_kernel, B, name=name)
 
 
 def highcut(cfg: EngineConfig, cutoff_hz: float = 8000.0) -> Effect:
@@ -127,13 +93,6 @@ def highcut(cfg: EngineConfig, cutoff_hz: float = 8000.0) -> Effect:
 def lowcut(cfg: EngineConfig, cutoff_hz: float = 160.0) -> Effect:
     """Highpass ("low cut") filter — CreateLowCutFilter parity."""
     return _make(cfg, cutoff_hz, invert=True, name="lowcut")
-
-
-def init_state(params: FFTFilterParams, batch_shape: tuple[int, ...] = ()):
-    """State = the two previous input blocks (EffectFFTFilter.py:40-42)."""
-    B = params.block_size
-    z = jnp.zeros(batch_shape + (B,), dtype=jnp.float32)
-    return {"prev1": z, "prev2": z}
 
 
 def batched_rfft_filter(window: jnp.ndarray, spectrum: jnp.ndarray,
@@ -165,21 +124,6 @@ def batched_rfft_filter(window: jnp.ndarray, spectrum: jnp.ndarray,
         h = unpack_spectrum(spectrum)
         out = jnp.fft.irfft(jnp.fft.rfft(flat, axis=-1) * h, n=n, axis=-1)
     return out.reshape(shape[:-1] + (n,))
-
-
-def _filter_window(params: FFTFilterParams, window: jnp.ndarray) -> jnp.ndarray:
-    """Overlap-save core: rfft(3B window) * H -> irfft -> latency slice."""
-    B = params.block_size
-    out = batched_rfft_filter(window.astype(jnp.float32), params.spectrum, 3 * B)
-    return out[..., params.slice_start : 3 * B - params.slice_end].astype(jnp.float32)
-
-
-def step(params: FFTFilterParams, state, block: jnp.ndarray):
-    """One streaming block: shift the 3-block history window and filter
-    (EffectFFTFilter.py:63-75)."""
-    window = jnp.concatenate([state["prev2"], state["prev1"], block], axis=-1)
-    out = _filter_window(params, window)
-    return {"prev1": block, "prev2": state["prev1"]}, out
 
 
 def plan_segments(kernel_len: int, block_size: int) -> tuple[int, int]:
@@ -252,15 +196,10 @@ def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
     return y.reshape(lead + (nb, B)).astype(jnp.float32)
 
 
-def offline(params: FFTFilterParams, blocks: jnp.ndarray) -> jnp.ndarray:
-    """Block-parallel path: segmented fast convolution (see
-    ``segmented_fft_conv``); numerically equivalent to folding ``step``."""
-    return segmented_fft_conv(params.spectrum_seg, blocks, params.shift,
-                              params.block_size)
-
-
 # ---------------------------------------------------------------------------
-# Generic FIR effect from an arbitrary kernel (used for fused LTI cascades)
+# Generic FIR effect from an arbitrary kernel — the execution form of the
+# named filters above, fused LTI cascades, reverb tap trains, and FIR-ized
+# IIR responses.
 # ---------------------------------------------------------------------------
 
 
@@ -293,13 +232,16 @@ def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
     spec_seg, halo, seg = pack_segmented_kernel(
         kernel[lead:] if nz.size else kernel[:1], B)
     # Streaming keeps the FULL kernel (leading zeros included — streaming has
-    # no cheap output-shift), with the window rounded up to a power-of-two
-    # block count so the FFT stays off XLA's slow non-pow2 (Bluestein) path;
-    # the extra history blocks are harmless (larger wrap-free region).
+    # no cheap output-shift) in the MINIMAL window: per-step cost is
+    # latency/bandwidth-bound, so the smallest wrap-free window wins
+    # (measured on v5e: 3B VPU FFT beats both the 4B VPU FFT and the 4B
+    # MXU/Pallas tier at streaming batch sizes). The block count is rounded
+    # up to the next 7-smooth integer so the window stays on XLA's
+    # mixed-radix fast path (radix 2/3/5/7; no Bluestein).
     halo_full = max(1, -(-(len(kernel) - 1) // B))
-    w = 1
-    while w < halo_full + 1:
-        w *= 2
+    w = halo_full + 1
+    while _largest_prime_factor(w) > 7:
+        w += 1
     halo_stream = w - 1
     stream_len = (halo_stream + 1) * B
     spec_stream = np.fft.rfft(
@@ -313,6 +255,17 @@ def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
     return Effect(name=name, params=params, init_state=fir_init_state,
                   step=fir_step, offline=fir_offline,
                   lti_kernel=np.asarray(kernel, dtype=np.float64))
+
+
+def _largest_prime_factor(n: int) -> int:
+    f = 2
+    last = 1
+    while f * f <= n:
+        while n % f == 0:
+            last = f
+            n //= f
+        f += 1
+    return max(last, n) if n > 1 else last
 
 
 def fir_init_state(params: FIRParams, batch_shape: tuple[int, ...] = ()):

@@ -28,7 +28,7 @@ from . import fft_filter
 @pytree_dataclass(meta_fields=("time_in_samples", "n_taps", "block_size"))
 class ReverbLineParams:
     ramp: jnp.ndarray
-    highcut: fft_filter.FFTFilterParams
+    highcut: fft_filter.FIRParams
     time_in_samples: int
     n_taps: int
     block_size: int
@@ -105,7 +105,7 @@ def _line_buffer_len(p: ReverbLineParams) -> int:
 
 def _line_state(p: ReverbLineParams, batch_shape):
     return {
-        "filter": fft_filter.init_state(p.highcut, batch_shape),
+        "filter": fft_filter.fir_init_state(p.highcut, batch_shape),
         "buffer": jnp.zeros(batch_shape + (_line_buffer_len(p),), dtype=jnp.float32),
     }
 
@@ -116,7 +116,7 @@ def init_state(params: ReverbParams, batch_shape: tuple[int, ...] = ()):
 
 
 def _line_step(p: ReverbLineParams, st, block):
-    fstate, filtered = fft_filter.step(p.highcut, st["filter"], block)
+    fstate, filtered = fft_filter.fir_step(p.highcut, st["filter"], block)
     n = block.shape[-1]
     buf = st["buffer"]
     for k in range(p.n_taps):
