@@ -100,19 +100,22 @@ def fuse_lti_runs(effects: tuple[Effect, ...]) -> tuple[Effect, ...]:
     * dynamics automatons (compressor/gate, params is DynamicsParams) ->
       one cascaded speculative kernel pass (kernels.dynamics_pallas
       .fused_dynamics) — TPU backend only (the kernel is Pallas/Mosaic;
-      CPU and GPU keep the faithful scans separate).
+      CPU and GPU keep the faithful scans separate);
+    * tail runs (delay without pre-filters / tremolo / stateless waveshapers)
+      left over after the passes above -> one windowed elementwise kernel
+      pass (kernels.tail_pallas.fused_tail) — TPU backend only.
     """
     import jax
 
     from ..ops.dynamics import DynamicsParams
     from ..ops.fft_filter import fuse_lti
 
-    fuse_dyn = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
 
     def kind(e: Effect) -> str:
         if e.lti_kernel is not None:
             return "lti"
-        if fuse_dyn and isinstance(e.params, DynamicsParams):
+        if on_tpu and isinstance(e.params, DynamicsParams):
             return "dyn"
         return ""
 
@@ -142,6 +145,33 @@ def fuse_lti_runs(effects: tuple[Effect, ...]) -> tuple[Effect, ...]:
                 run.append(e)
             else:
                 out.append(e)
+    flush()
+    return fuse_tail_runs(tuple(out)) if on_tpu else tuple(out)
+
+
+def fuse_tail_runs(effects: tuple[Effect, ...]) -> tuple[Effect, ...]:
+    """Second fusion pass: collapse runs of >= 2 consecutive tail-fusable
+    effects (delay without pre-filters, tremolo, stateless waveshapers) into
+    one windowed Pallas kernel pass (kernels/tail_pallas). Runs AFTER LTI
+    fusion so a delay adjacent to other LTI ops prefers the FIR cascade."""
+    from ..kernels.tail_pallas import fused_tail, tail_fusable
+
+    out: list[Effect] = []
+    run: list[Effect] = []
+
+    def flush():
+        if len(run) >= 2:
+            out.append(fused_tail(run))
+        else:
+            out.extend(run)
+        run.clear()
+
+    for e in effects:
+        if tail_fusable(e):
+            run.append(e)
+        else:
+            flush()
+            out.append(e)
     flush()
     return tuple(out)
 

@@ -106,8 +106,9 @@ def phase_schedule(params: TremoloParams, num_blocks: int, n: int | None = None
     return phases
 
 
-def offline(params: TremoloParams, blocks: jnp.ndarray) -> jnp.ndarray:
-    nb, n = blocks.shape[-2], blocks.shape[-1]
+def gain_row(params: TremoloParams, nb: int, n: int) -> jnp.ndarray:
+    """The whole render's per-sample gain as one flat (nb*n,) f32 row —
+    shared by ``offline`` and the fused tail kernel (kernels/tail_pallas)."""
     phases = jnp.asarray(phase_schedule(params, nb, n), dtype=jnp.int32)
     idx = (phases[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]) % params.lfo_length
     # Arithmetic LFO instead of a table gather: big gathers are ~10x the
@@ -117,4 +118,10 @@ def offline(params: TremoloParams, blocks: jnp.ndarray) -> jnp.ndarray:
     # differs from the f64-built table by ulps (>130 dB, bound is 60).
     ph = idx.astype(jnp.float32) * params.omega
     gains = (jnp.sin(ph) * 0.5 + 0.5) * params.depth + (1.0 - params.depth)
+    return gains.reshape(-1)
+
+
+def offline(params: TremoloParams, blocks: jnp.ndarray) -> jnp.ndarray:
+    nb, n = blocks.shape[-2], blocks.shape[-1]
+    gains = gain_row(params, nb, n).reshape(nb, n)
     return (blocks * gains).astype(jnp.float32)
