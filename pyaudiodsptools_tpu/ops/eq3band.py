@@ -19,6 +19,13 @@ companion matrix M — log-depth on device instead of a per-sample Python loop
 (SURVEY.md §7 hard part #2). The FIR part of each band is a parallel shifted
 multiply-add; only the 2-tap feedback goes through the scan. Bands are chained
 low -> mid -> high like the reference's documented usage (ModuleTests.py).
+
+The scan runs in DOUBLE-FLOAT (f32x2 compensated, core/dfloat.py): plain-f32
+composition reaches only ~62-68 dB vs the reference's float64 loop because
+rounding errors are amplified through the feedback poles; carrying every
+coefficient, state word, and inter-band intermediate as an (hi, lo) f32 pair
+restores >100 dB while staying in native f32 VPU ops (no x64 mode, which TPUs
+only emulate).
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import dfloat as dfl
 from ..core.config import EngineConfig
 from .base import Effect, pytree_dataclass
 from . import fft_filter
@@ -76,7 +84,10 @@ def rbj_highshelf(fs: float, freq: float, gain_db: float, q: float = 1.0):
                                "seg_blocks", "block_size"))
 class EQ3BandParams:
     # Normalized coefficients per band, (n_bands, 5): b0', b1', b2', a1', a2'.
+    # ``coeffs`` is the f32 head; ``coeffs_lo`` the f32 compensation tail of
+    # the float64 value (together ~49 mantissa bits, core/dfloat.py).
     coeffs: jnp.ndarray
+    coeffs_lo: jnp.ndarray
     # FIR-ized offline path: the cascade's impulse response truncated at
     # -180 dB (None when the cascade did not decay within the cap).
     spectrum_fir: jnp.ndarray | None
@@ -137,8 +148,10 @@ def _build(cfg: EngineConfig, rows: list, name: str) -> Effect:
     h = _impulse_response(rows)
     if h is not None:
         spec, halo, seg = fft_filter.pack_segmented_kernel(h, cfg.block_size)
+    chi, clo = dfl.from_f64(rows)
     params = EQ3BandParams(
-        coeffs=jnp.asarray(rows, dtype=jnp.float32),
+        coeffs=chi,
+        coeffs_lo=clo,
         spectrum_fir=spec if h is not None else None,
         n_bands=len(rows),
         use_fir=h is not None,
@@ -179,69 +192,115 @@ def eq_band(cfg: EngineConfig, kind: str, freq: float, gain_db: float) -> Effect
                   f"eq_band_{kind}")
 
 
+_ST_KEYS = ("x1", "x2", "x3", "y1", "y2",
+            "x1l", "x2l", "x3l", "y1l", "y2l")
+
+
 def init_state(params: EQ3BandParams, batch_shape: tuple[int, ...] = ()):
     """Per band: last 3 raw inputs (x1 newest) and last 2 outputs (y1 newest)
     — exactly the reference's PrevOriginalChunkSample / PrevChunkSample
-    (EffectEQ3Band.py:36-43)."""
+    (EffectEQ3Band.py:36-43). Each word carries an f32x2 compensation tail
+    (``*l`` keys) so the cross-block recurrence stays float64-accurate."""
     nb = params.n_bands
     z = jnp.zeros((nb,) + batch_shape, dtype=jnp.float32)
-    return {"x1": z, "x2": z, "x3": z, "y1": z, "y2": z}
+    return {k: z for k in _ST_KEYS}
 
 
-def _band(params: EQ3BandParams, band: int, st, x: jnp.ndarray):
-    """One biquad band over the last axis of ``x`` via associative scan.
+def _df_mm2(Ah, Al, Bh, Bl):
+    """Double-float (..., i, 2) @ (..., 2, j) — written out so every entry is
+    one compensated product-sum chain."""
+    ph, pl = dfl.mul(Ah[..., :, :, None], Al[..., :, :, None],
+                     Bh[..., None, :, :], Bl[..., None, :, :])
+    return dfl.add(ph[..., :, 0, :], pl[..., :, 0, :],
+                   ph[..., :, 1, :], pl[..., :, 1, :])
+
+
+def _band(params: EQ3BandParams, band: int, st, xh: jnp.ndarray,
+          xl: jnp.ndarray):
+    """One biquad band over the last axis of ``(xh, xl)`` via a double-float
+    associative scan.
 
     Recurrence (with the reference's 1-sample input delay):
         y[n] = b0 x[n-1] + b1 x[n-2] + b2 x[n-3] - a1 y[n-1] - a2 y[n-2]
     """
-    b0, b1, b2, a1, a2 = (params.coeffs[band, i] for i in range(5))
-    x1, x2, x3 = st["x1"][band], st["x2"][band], st["x3"][band]
-    y1, y2 = st["y1"][band], st["y2"][band]
+    cf = [(params.coeffs[band, i], params.coeffs_lo[band, i])
+          for i in range(5)]
+    b0, b1, b2, a1, a2 = cf
+    na1 = (-a1[0], -a1[1])
+    na2 = (-a2[0], -a2[1])
 
-    def shift(v, k, fills):
+    def stf(k):
+        return st[k][band], st[k + "l"][band]
+
+    def shift(vh, vl, k, fills):
         # v delayed by k samples along the last axis, head filled from state.
-        head = jnp.stack(fills, axis=-1) if k else None
-        return jnp.concatenate([head, v[..., :-k]], axis=-1) if k else v
+        if not k:
+            return vh, vl
+        hh = jnp.stack([f[0] for f in fills], axis=-1)
+        hl = jnp.stack([f[1] for f in fills], axis=-1)
+        return (jnp.concatenate([hh, vh[..., :-k]], axis=-1),
+                jnp.concatenate([hl, vl[..., :-k]], axis=-1))
 
-    xd1 = shift(x, 1, [x1])
-    xd2 = shift(x, 2, [x2, x1])
-    xd3 = shift(x, 3, [x3, x2, x1])
-    c = b0 * xd1 + b1 * xd2 + b2 * xd3
+    x1, x2, x3 = stf("x1"), stf("x2"), stf("x3")
+    y1, y2 = stf("y1"), stf("y2")
+
+    xd1 = shift(xh, xl, 1, [x1])
+    xd2 = shift(xh, xl, 2, [x2, x1])
+    xd3 = shift(xh, xl, 3, [x3, x2, x1])
+    c = dfl.add(*dfl.mul(*b0, *xd1),
+                *dfl.add(*dfl.mul(*b1, *xd2), *dfl.mul(*b2, *xd3)))
 
     # Fold the initial output state into the first two forcing terms:
     # y[0] = c[0] - a1 y[-1] - a2 y[-2]; y[1] = c[1] - a1 y[0] - a2 y[-1].
-    c = c.at[..., 0].add(-a1 * y1 - a2 * y2)
-    if c.shape[-1] > 1:
-        c = c.at[..., 1].add(-a2 * y1)
+    t0 = dfl.add(*dfl.mul(*na1, *y1), *dfl.mul(*na2, *y2))
+    c00 = dfl.add(c[0][..., 0], c[1][..., 0], *t0)
+    ch = c[0].at[..., 0].set(c00[0])
+    cl = c[1].at[..., 0].set(c00[1])
+    if ch.shape[-1] > 1:
+        t1 = dfl.mul(*na2, *y1)
+        c01 = dfl.add(ch[..., 1], cl[..., 1], *t1)
+        ch = ch.at[..., 1].set(c01[0])
+        cl = cl.at[..., 1].set(c01[1])
 
-    # Affine associative scan: s[n] = M s[n-1] + [c[n], 0], M = [[-a1,-a2],[1,0]].
-    # Both leaves keep the time axis at -3 so one scan axis serves the pair.
-    n = c.shape[-1]
-    m = jnp.broadcast_to(
-        jnp.array([[-a1, -a2], [1.0, 0.0]], dtype=c.dtype), c.shape[:-1] + (n, 2, 2)
-    )
-    v = jnp.stack([c, jnp.zeros_like(c)], axis=-1)[..., None]  # (..., n, 2, 1)
+    # Affine associative scan: s[n] = M s[n-1] + [c[n], 0],
+    # M = [[-a1,-a2],[1,0]]. Both M and v ride as (hi, lo) leaf pairs; the
+    # time axis stays at -3 so one scan axis serves all four leaves.
+    n = ch.shape[-1]
+    shape = ch.shape[:-1] + (n, 2, 2)
+    mh = jnp.broadcast_to(
+        jnp.array([[na1[0], na2[0]], [1.0, 0.0]], dtype=ch.dtype), shape)
+    ml = jnp.broadcast_to(
+        jnp.array([[na1[1], na2[1]], [0.0, 0.0]], dtype=ch.dtype), shape)
+    vh = jnp.stack([ch, jnp.zeros_like(ch)], axis=-1)[..., None]
+    vl = jnp.stack([cl, jnp.zeros_like(cl)], axis=-1)[..., None]
 
     def compose(left, right):
-        ml, vl = left
-        mr, vr = right
-        return (mr @ ml, mr @ vl + vr)
+        mlh, mll, vlh, vll = left
+        mrh, mrl, vrh, vrl = right
+        nmh, nml = _df_mm2(mrh, mrl, mlh, mll)
+        wh, wl = _df_mm2(mrh, mrl, vlh, vll)
+        nvh, nvl = dfl.add(wh, wl, vrh, vrl)
+        return (nmh, nml, nvh, nvl)
 
-    _, ys = jax.lax.associative_scan(compose, (m, v), axis=m.ndim - 3)
-    y = ys[..., 0, 0]
+    res = jax.lax.associative_scan(compose, (mh, ml, vh, vl), axis=mh.ndim - 3)
+    yh, yl = res[2][..., 0, 0], res[3][..., 0, 0]
 
-    new_st = (x[..., -1], x[..., -2], x[..., -3], y[..., -1], y[..., -2])
-    return new_st, y
+    new_st = ((xh[..., -1], xl[..., -1]), (xh[..., -2], xl[..., -2]),
+              (xh[..., -3], xl[..., -3]), (yh[..., -1], yl[..., -1]),
+              (yh[..., -2], yl[..., -2]))
+    return new_st, yh, yl
 
 
 def _apply(params: EQ3BandParams, state, x: jnp.ndarray):
-    new_state = {k: [] for k in ("x1", "x2", "x3", "y1", "y2")}
+    new_state = {k: [] for k in _ST_KEYS}
+    xh, xl = x, jnp.zeros_like(x)
     for band in range(params.n_bands):
-        st, x = _band(params, band, state, x)
+        st, xh, xl = _band(params, band, state, xh, xl)
         for k, v in zip(("x1", "x2", "x3", "y1", "y2"), st):
-            new_state[k].append(v)
+            new_state[k].append(v[0])
+            new_state[k + "l"].append(v[1])
     state = {k: jnp.stack(v, axis=0) for k, v in new_state.items()}
-    return state, x.astype(jnp.float32)
+    return state, dfl.to_f32(xh, xl)
 
 
 def step(params: EQ3BandParams, state, block: jnp.ndarray):

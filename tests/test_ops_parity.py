@@ -92,9 +92,9 @@ def test_eq3band_biquad(cfg):
     golden = np.concatenate(outs)
     eff = eq3band(cfg, 200.0, 3.5, 1000.0, -2.5, 8000.0, 4.0)
     # The reference's biquad loop upcasts to float64 (numpy.insert of float64
-    # state); our float32 recursion lands ~68 dB — above the 60 dB parity
-    # bound (BASELINE.json) but below the >100 dB the other ops reach.
-    _check(golden, eff, sig, bound=62.0, consistency=62.0)
+    # state); the double-float (f32x2) companion-matrix scan tracks it to
+    # ~110 dB (measured; plain f32 landed 62-68 dB).
+    _check(golden, eff, sig, bound=100.0, consistency=100.0)
 
 
 def test_compressor(cfg):
