@@ -1,10 +1,11 @@
 """Realtime streaming — the reference's Example3.py, TPU-native.
 
 The reference runs a PyAudio duplex stream with the effect in the C callback
-(Example3.py:20-25) and polls CPU load. Here the native ring-buffer runtime
-pumps fixed blocks through the precompiled TPU chain step; a synthetic
-producer stands in for the sound card (no audio hardware in this container),
-and deadline stats replace stream.get_cpu_load().
+(Example3.py:20-46) and polls CPU load. Here the native ring-buffer runtime
+pumps fixed blocks through the precompiled TPU chain step. When a PortAudio
+binding (sounddevice / pyaudio) is installed, real duplex hardware drives
+the rings via runtime.DuplexAudioStream — Example3's exact role; otherwise a
+synthetic producer stands in, and deadline stats replace get_cpu_load().
 """
 
 import time
@@ -13,12 +14,25 @@ import numpy as np
 
 from pyaudiodsptools_tpu import Chain, EngineConfig, ops
 from pyaudiodsptools_tpu.core import generators
-from pyaudiodsptools_tpu.runtime import RealtimeEngine
+from pyaudiodsptools_tpu.runtime import (DuplexAudioStream, RealtimeEngine,
+                                         available_backend)
 
 cfg = EngineConfig(sample_rate=44100, block_size=512)
 chain = Chain([ops.lowcut(cfg, 160), ops.compressor(cfg, -20.0, 0.5)])
 
 engine = RealtimeEngine(chain, cfg)
+
+if available_backend() is not None:
+    # Real hardware: mic -> chain -> speakers for 10 s (Example3.py:39-46).
+    with DuplexAudioStream(engine) as stream:
+        for _ in range(10):
+            time.sleep(1.0)
+            s = engine.stats()
+            print(f"live: {s['blocks']} blocks, worst "
+                  f"{s['worst_ns'] / 1e6:.2f} ms, xruns {s['xruns']}, "
+                  f"underrun {stream.underrun_samples}")
+    raise SystemExit(0)
+
 engine.start()
 
 sig = np.asarray(generators.sine(440.0, cfg.sample_rate * 2, cfg.sample_rate)) * 0.5
