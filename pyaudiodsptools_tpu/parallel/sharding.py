@@ -63,6 +63,17 @@ def _render_with_constraints(structure, mesh, params, blocks):
             blocks = jax.lax.with_sharding_constraint(blocks, full)
             blocks = eq3band_offline_sharded(p, blocks, mesh)
             continue
+        if time_sharded and blocks.ndim == 3:
+            # Dynamics automatons (single op or fused cascade) stay
+            # time-sharded via the cross-device speculative fixpoint
+            # (parallel/dynspec.py) instead of gathering the time axis.
+            from .dynspec import dynamics_offline_time_sharded, \
+                is_dynamics_params
+
+            if is_dynamics_params(p):
+                blocks = jax.lax.with_sharding_constraint(blocks, full)
+                blocks = dynamics_offline_time_sharded(p, blocks, mesh)
+                continue
         if time_parallel:
             blocks = jax.lax.with_sharding_constraint(blocks, full)
             if offline_fn is not None:

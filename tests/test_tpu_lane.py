@@ -1,0 +1,126 @@
+"""Real-TPU test lane: the non-interpret Mosaic paths, on the chip.
+
+Run with  PADT_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_lane.py -q
+(conftest pins the platform; on the default CPU lane these all skip). The
+cases cover exactly the surfaces whose interpret-mode tests cannot catch a
+Mosaic lowering regression: the fused conv kernels, the dynamics kernels,
+the fused tail kernel, and one end-to-end kernel-backed chain render.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ref_loader import snr_db
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(jax.default_backend() != "tpu",
+                       reason="real-TPU lane (set PADT_TEST_PLATFORM=tpu)"),
+]
+
+
+def test_segmented_conv_fused_on_chip():
+    from pyaudiodsptools_tpu.kernels.pallas_conv import segmented_conv_fused
+    from pyaudiodsptools_tpu.ops.fft_filter import pack_spectrum
+
+    B, halo, seg = 2048, 2, 6  # n = 16384
+    n = (halo + seg) * B
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 12 * B)).astype(np.float32)
+    k = rng.standard_normal(3000) * 0.1
+    spec = pack_spectrum(np.fft.rfft(np.concatenate([k, np.zeros(n - 3000)])))
+    got = np.asarray(segmented_conv_fused(jnp.asarray(x), spec, B, halo, seg,
+                                          1371))
+    ref = np.stack([np.convolve(x[c], k)[: 12 * B] for c in range(3)])
+    ref = np.concatenate([np.zeros((3, 1371)), ref[:, : 12 * B - 1371]],
+                         axis=1)
+    assert snr_db(ref.astype(np.float32), got) > 95.0
+
+
+def test_conv_pairs_fused_on_chip():
+    from pyaudiodsptools_tpu.kernels.pallas_conv import conv_pairs_fused
+
+    n = 16384
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    k = rng.standard_normal(2000) / 100.0
+    H = np.fft.rfft(np.concatenate([k, np.zeros(n - 2000)]))
+    packed = jnp.asarray(np.stack([H.real, H.imag]).astype(np.float32))
+    got = np.asarray(conv_pairs_fused(jnp.asarray(x), packed, n,
+                                      pairs_per_step=2))
+    want = np.fft.irfft(np.fft.rfft(x, axis=-1) * H, n=n, axis=-1)
+    assert snr_db(want.astype(np.float32), got) > 95.0
+
+
+def _burst(channels, n, seed=5):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((channels, n)) * 0.02).astype(np.float32)
+    for start in range(0, n, 3000):
+        seg = min(700, n - start)
+        x[:, start:start + seg] += (rng.standard_normal((channels, seg)) * 0.7
+                                    ).astype(np.float32)
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+def test_dynamics_kernels_on_chip():
+    """Serial kernel == speculative offline kernel == (ulp-close to) the
+    faithful scan, all executing the real Mosaic lowering."""
+    from pyaudiodsptools_tpu import EngineConfig, ops
+    from pyaudiodsptools_tpu.kernels.dynamics_pallas import (
+        dynamics_pallas, dynamics_pallas_offline)
+    from pyaudiodsptools_tpu.ops import dynamics as dyn
+
+    cfg = EngineConfig(44100, 512)
+    comp = ops.compressor(cfg, -18.0, 0.6, 3.1, 30.1)
+    x = jnp.asarray(_burst(4, 512 * 24))
+
+    st = dyn.init_state(comp.params, (4,))
+    _, want = dyn.step(comp.params, st, x)
+
+    st2 = dyn.init_state(comp.params, (4,))
+    _, got_serial = dynamics_pallas(comp.params, st2, x)
+    assert snr_db(np.asarray(want), np.asarray(got_serial)) > 100.0
+
+    got_spec = dynamics_pallas_offline(comp.params, x)
+    np.testing.assert_array_equal(np.asarray(got_serial), np.asarray(got_spec))
+
+
+def test_fused_tail_on_chip():
+    from pyaudiodsptools_tpu import EngineConfig, ops
+    from pyaudiodsptools_tpu.kernels.tail_pallas import fused_tail
+
+    cfg = EngineConfig(44100, 512)
+    effs = [ops.delay(cfg, 150.0, 2), ops.tremolo(cfg, 0.3, 5.0),
+            ops.softclipper(cfg, 0.44)]
+    fused = fused_tail(effs)
+    rng = np.random.default_rng(3)
+    blocks = jnp.asarray((rng.standard_normal((2, 24, 512)) * 0.4
+                          ).astype(np.float32))
+    got = fused.offline(fused.params, blocks)
+    want = blocks
+    for e in effs:
+        want = e.offline(e.params, want)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_chain8_kernel_backed_on_chip():
+    """The full flagship chain with every kernel engaged (fused LTI conv,
+    dynamics cascade, fused tail) vs the faithful scan-based chain."""
+    from pyaudiodsptools_tpu import EngineConfig
+    from pyaudiodsptools_tpu.core import block as blk
+    from __graft_entry__ import _chain8
+
+    cfg = EngineConfig(sample_rate=44100, block_size=4096)
+    sig = _burst(2, 4096 * 12, seed=11)
+    blocks = blk.make_blocks(jnp.asarray(sig), cfg.block_size)
+
+    from pyaudiodsptools_tpu import Chain
+
+    fast = _chain8(cfg, fast_dynamics=True)
+    slow = Chain(_chain8(cfg, fast_dynamics=False).effects, fuse=False)
+    got = np.asarray(blk.combine_blocks(fast.render_blocks(blocks)))
+    want = np.asarray(blk.combine_blocks(slow.render_blocks(blocks)))
+    assert snr_db(want, got) > 95.0
