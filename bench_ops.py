@@ -1,11 +1,16 @@
 """Per-op timing harness — the reference's ModuleTests.py timing pattern,
-TPU-native: every effect timed over 60 s of generated audio, reporting
-ms/block and realtime factor (the reference prints the same numbers per
-device, ModuleTests.py:96-214).
+TPU-native: every effect timed over generated audio, reporting ms/block,
+realtime factor, and (with --roofline) the modeled HBM bytes / MXU flops /
+VPU flops next to the measured time as a % of the device's rooflines, with
+the binding resource named (pyaudiodsptools_tpu/roofline.py; SURVEY.md §5's
+"cost model check vs roofline" mandate).
 
 Usage:  python bench_ops.py [--channels C] [--seconds S] [--block B]
-Runs on whatever JAX platform is active (TPU under the driver; set
-JAX_PLATFORMS=cpu to compare against the reference's CPU numbers).
+                            [--json] [--roofline] [--chain]
+--chain additionally times the flagship 8-effect chain's three fused kernel
+stages (segmented conv, dynamics cascade, fused tail) separately, so the
+headline wall time decomposes into named, modeled pieces. Runs on whatever
+JAX platform is active; a captured TPU run is checked in as BENCH_OPS.json.
 """
 
 from __future__ import annotations
@@ -17,12 +22,85 @@ import time
 import numpy as np
 
 
+def _timed(fn, args, checksum, n_chain=4, reps=3):
+    """Honest tunneled-TPU clock: chain n data-dependent passes, fetch a
+    checksum scalar inside the timed region, take the best of reps."""
+    out = fn(*args)
+    assert np.isfinite(float(checksum(out)))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        o = out
+        for _ in range(n_chain):
+            o = fn(args[0], args[1], o, args[3])
+        assert np.isfinite(float(checksum(o)))
+        times.append((time.perf_counter() - t0) / n_chain)
+    return min(times)
+
+
+def _op_model(name, eff, C, T):
+    """Attach the roofline cost model matching this op's execution path."""
+    from pyaudiodsptools_tpu import roofline as rl
+
+    p = eff.params
+    conv = rl.conv_cost_from_params(C, T, p)
+    if name in ("lowcut", "highcut", "eq3band_fft", "reverb",
+                "eq3band_biquad") and conv is not None:
+        return conv
+    if name in ("compressor_pallas", "gate_pallas"):
+        return rl.dynamics_cost(C, T, n_ops=1)
+    if name in ("compressor", "gate"):
+        # faithful scan: one read+write, ~22 dependent VPU ops/sample
+        return rl.simple_cost(C, T, vpu_flops_per_sample=22.0)
+    if name == "delay":
+        taps = 1 + getattr(p, "feedback_loops", 1)
+        return rl.simple_cost(C, T, read_passes=float(taps))
+    return rl.simple_cost(C, T)
+
+
+def _chain_stages(cfg, blocks, checksum, pk, eps):
+    """Time each fused exec-effect of the flagship chain separately."""
+    import jax
+
+    from pyaudiodsptools_tpu import roofline as rl
+    from pyaudiodsptools_tpu.ops.dynamics import DynamicsParams
+    from __graft_entry__ import _chain8
+
+    chain = _chain8(cfg, fast_dynamics=jax.default_backend() != "cpu")
+    C = blocks.shape[0]
+    T = blocks.shape[-2] * blocks.shape[-1]
+    rows = {}
+    for eff in chain.exec_effects:
+        fn = jax.jit(lambda p, b, o, e, _f=eff.offline: _f(p, b + e * o))
+        dt = _timed(fn, (eff.params, blocks, blocks, eps), checksum)
+        p = eff.params
+        if isinstance(p, tuple) and p and isinstance(p[0], DynamicsParams):
+            cost = rl.dynamics_cost(C, T, n_ops=len(p))
+        elif isinstance(p, DynamicsParams):
+            cost = rl.dynamics_cost(C, T, n_ops=1)
+        elif eff.name.startswith("tail:") or "tail" in eff.name:
+            cost = rl.tail_cost(C, T)
+        else:
+            cost = rl.conv_cost_from_params(C, T, p) or rl.simple_cost(C, T)
+        rows[eff.name] = {"ms": round(dt * 1e3, 3),
+                          **rl.classify(dt, cost, pk)}
+    # the whole fused chain for reference
+    fn = jax.jit(lambda p, b, o, e: chain._jit_render(p, b + e * o))
+    dt = _timed(fn, (chain.params, blocks, blocks, eps), checksum)
+    rows["chain8_total"] = {"ms": round(dt * 1e3, 3)}
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=1)
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--roofline", action="store_true",
+                    help="attach cost models + roofline %% per op")
+    ap.add_argument("--chain", action="store_true",
+                    help="also decompose the flagship chain's fused stages")
     args = ap.parse_args()
 
     import jax
@@ -33,6 +111,7 @@ def main() -> None:
         jax.config.update("jax_platforms", os.environ["PADT_BENCH_PLATFORM"])
 
     from pyaudiodsptools_tpu import EngineConfig, ops
+    from pyaudiodsptools_tpu import roofline as rl
 
     cfg = EngineConfig(sample_rate=44100, block_size=args.block)
     n = int(args.seconds * cfg.sample_rate)
@@ -45,6 +124,9 @@ def main() -> None:
         -0.99, 0.99))(key)
     blocks.block_until_ready()
     total = blocks.size
+    C = args.channels
+    T = nb * cfg.block_size
+    pk = rl.peaks_for(jax.devices()[0].device_kind)
 
     effects = {
         "saturator": ops.saturator(cfg),
@@ -68,45 +150,55 @@ def main() -> None:
         effects["compressor_pallas"] = fast_compressor(cfg)
         effects["gate_pallas"] = fast_gate(cfg)
 
-    # Honest clock for the tunneled TPU backend: block_until_ready can
-    # return before execution completes, so each timed run chains N passes
-    # through a data dependency and fetches a checksum scalar inside the
-    # timed region (bench.py uses the same discipline).
     results = {}
     budget_ms = cfg.block_duration_ms
-    N = 4
     eps = jnp.float32(1e-6)
+    checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
     for name, eff in effects.items():
         fn = jax.jit(lambda p, b, o, e, _f=eff.offline: _f(p, b + e * o))
-        checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
-        out = fn(eff.params, blocks, blocks, eps)
-        assert np.isfinite(float(checksum(out)))
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            o = out
-            for _ in range(N):
-                o = fn(eff.params, blocks, o, eps)
-            assert np.isfinite(float(checksum(o)))
-            times.append((time.perf_counter() - t0) / N)
-        dt = min(times)
+        dt = _timed(fn, (eff.params, blocks, blocks, eps), checksum)
         ms_per_block = 1000.0 * dt / nb
-        total_samples = total
-        rt = (total_samples / cfg.sample_rate) / dt
+        rt = (total / cfg.sample_rate / max(C, 1)) / dt * max(C, 1)
         results[name] = {
             "ms_per_block": round(ms_per_block, 5),
-            "realtime_factor": round(rt, 1),
-            "samples_per_s": round(total_samples / dt, 1),
+            "realtime_factor": round((total / cfg.sample_rate) / dt, 1),
+            "samples_per_s": round(total / dt, 1),
         }
+        if args.roofline:
+            results[name].update(
+                rl.classify(dt, _op_model(name, eff, C, T), pk))
         if not args.json:
-            print(f"{name:16s} {ms_per_block:10.5f} ms/block "
-                  f"(budget {budget_ms:.2f})  {rt:12.1f}x realtime")
+            extra = (f"  [{results[name].get('bound', '')}]"
+                     if args.roofline else "")
+            print(f"{name:18s} {ms_per_block:10.5f} ms/block "
+                  f"(budget {budget_ms:.2f})  "
+                  f"{results[name]['realtime_factor']:12.1f}x realtime{extra}")
+
+    payload = {"device": str(jax.devices()[0]),
+               "device_kind": jax.devices()[0].device_kind,
+               "channels": args.channels,
+               "block_size": args.block,
+               "seconds": args.seconds,
+               "results": results}
+    if args.roofline:
+        payload["peaks"] = {"mxu_bf16_flops": pk.mxu_bf16_flops,
+                            "hbm_bytes_per_s": pk.hbm_bytes_per_s,
+                            "vpu_f32_flops": pk.vpu_f32_flops}
+    if args.chain:
+        chain_cfg = EngineConfig(sample_rate=44100, block_size=4096)
+        nbc = -(-int(30.0 * 44100) // 4096)
+        cblocks = jax.jit(lambda k: jnp.clip(
+            0.3 * jax.random.normal(k, (64, nbc, 4096), jnp.float32),
+            -0.99, 0.99))(key)
+        cblocks.block_until_ready()
+        payload["chain_stages"] = _chain_stages(chain_cfg, cblocks, checksum,
+                                                pk, eps)
+        if not args.json:
+            for k, v in payload["chain_stages"].items():
+                print(f"chain[{k}]: {v}")
 
     if args.json:
-        print(json.dumps({"device": str(jax.devices()[0]),
-                          "channels": args.channels,
-                          "block_size": args.block,
-                          "results": results}))
+        print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -288,12 +288,23 @@ def _int_automaton(scalars, s, row):
     return row * pre * gain, n
 
 
-def _spec_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref, out_ref,
-                 z_ref, s_scr):
-    """Speculative sweep over one time tile, running a CASCADE of n_ops
-    automatons per sample (op j+1 consumes op j's output — a fused
-    compressor->gate chain costs one HBM pass). State rows for op j live at
-    sublane rows [j*8, j*8+8)."""
+def _int_automaton_state(scalars, s, row):
+    """State transition only — the gain path (the automaton's output, which
+    never feeds back into the state) is omitted. Used by the states-only
+    fixpoint sweeps."""
+    thr, pre, ratio, att_step, rel0, rel_step, x_max, end = scalars
+    over = jnp.abs(row) > thr
+    pos = s > 0
+    in_att = pos & (s < x_max)
+    sp1 = s + 1
+    rel_next = jnp.where(sp1 == end, -1, sp1)
+    hi_next = jnp.where(over, x_max, rel_next)
+    n = jnp.where(in_att, sp1, hi_next)
+    n = jnp.where(s == 0, over.astype(jnp.int32), n)
+    return jnp.where(s < 0, 0, n)
+
+
+def _read_scalars(n_ops, fscal_ref, iscal_ref):
     scalars = []
     for j in range(n_ops):  # static unroll
         scalars.append((
@@ -306,6 +317,16 @@ def _spec_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref, out_ref,
             iscal_ref[j, 0],  # x_max
             iscal_ref[j, 1],  # x_max + y_max: release completion boundary
         ))
+    return scalars
+
+
+def _spec_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref, out_ref,
+                 z_ref, s_scr):
+    """Speculative sweep over one time tile, running a CASCADE of n_ops
+    automatons per sample (op j+1 consumes op j's output — a fused
+    compressor->gate chain costs one HBM pass). State rows for op j live at
+    sublane rows [j*8, j*8+8)."""
+    scalars = _read_scalars(n_ops, fscal_ref, iscal_ref)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -318,6 +339,36 @@ def _spec_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref, out_ref,
             row, n = _int_automaton(scalars[j], s, row)
             s_scr[pl.ds(j * SUBLANES, SUBLANES), :] = n
         out_ref[pl.ds(i * SUBLANES, SUBLANES), :] = row
+        return 0
+
+    jax.lax.fori_loop(0, t_tile, body, 0)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _fin():
+        z_ref[:] = s_scr[:]
+
+
+def _spec_state_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref,
+                       z_ref, s_scr):
+    """States-only speculative sweep: identical automaton walk but the ONLY
+    output is the exit-state tensor — no per-sample HBM writes, and the last
+    cascade stage skips its (unused) gain application. The fixpoint loop
+    runs this; one _spec_kernel pass then writes the audio (ROADMAP #2)."""
+    scalars = _read_scalars(n_ops, fscal_ref, iscal_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s_scr[:] = e_ref[:]
+
+    def body(i, _):
+        row = x_ref[pl.ds(i * SUBLANES, SUBLANES), :]
+        for j in range(n_ops):
+            s = s_scr[pl.ds(j * SUBLANES, SUBLANES), :]
+            if j + 1 < n_ops:
+                row, n = _int_automaton(scalars[j], s, row)
+            else:
+                n = _int_automaton_state(scalars[j], s, row)
+            s_scr[pl.ds(j * SUBLANES, SUBLANES), :] = n
         return 0
 
     jax.lax.fori_loop(0, t_tile, body, 0)
@@ -377,27 +428,33 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
 
     state_spec = pl.BlockSpec((n_ops * SUBLANES, K), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
+    smem_specs = [
+        pl.BlockSpec((n_ops, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_ops, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    x_spec = pl.BlockSpec((t_tile * SUBLANES, K), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
     sweep_call = pl.pallas_call(
         partial(_spec_kernel, t_tile, n_ops),
         grid=(L // t_tile,),
-        in_specs=[
-            pl.BlockSpec((n_ops, 6), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_ops, 2), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((t_tile * SUBLANES, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            state_spec,
-        ],
-        out_specs=[
-            pl.BlockSpec((t_tile * SUBLANES, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            state_spec,
-        ],
+        in_specs=smem_specs + [x_spec, state_spec],
+        out_specs=[x_spec, state_spec],
         out_shape=[
             jax.ShapeDtypeStruct((L * SUBLANES, K), jnp.float32),
             jax.ShapeDtypeStruct((n_ops * SUBLANES, K), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((n_ops * SUBLANES, K), jnp.int32)],
+        interpret=interpret,
+    )
+    # States-only sweep for the fixpoint loop: reads the signal, writes ONLY
+    # the (n_ops*8, K) exit-state tensor — no audio writes until the final
+    # output pass.
+    state_call = pl.pallas_call(
+        partial(_spec_state_kernel, t_tile, n_ops),
+        grid=(L // t_tile,),
+        in_specs=smem_specs + [x_spec, state_spec],
+        out_specs=state_spec,
+        out_shape=jax.ShapeDtypeStruct((n_ops * SUBLANES, K), jnp.int32),
         scratch_shapes=[pltpu.VMEM((n_ops * SUBLANES, K), jnp.int32)],
         interpret=interpret,
     )
@@ -412,23 +469,24 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
             n_ops * SUBLANES, K)
 
     def cond(carry):
-        _, _, done, it = carry
+        _, done, it = carry
         return jnp.logical_and(jnp.logical_not(done), it < G + 2)
 
     def body(carry):
-        e, _, _, it = carry
-        out, z = sweep_call(fscal, iscal, xk, e)
+        e, _, it = carry
+        z = state_call(fscal, iscal, xk, e)
         el, zl = to_logical(e), to_logical(z)
         # segment 0 keeps its true entry (REST); others take the previous
         # segment's exit. Fixpoint == the serial state trajectory.
         en = jnp.concatenate([el[:, :, :1], zl[:, :, :-1]], axis=2)
         done = jnp.all(en == el)
-        return from_logical(en), out, done, it + 1
+        return from_logical(en), done, it + 1
 
     e0 = jnp.zeros((n_ops * SUBLANES, K), jnp.int32)
-    out0 = jnp.zeros((L * SUBLANES, K), jnp.float32)
-    _, out, _, _ = jax.lax.while_loop(
-        cond, body, (e0, out0, jnp.bool_(False), jnp.int32(0)))
+    e_fix, _, _ = jax.lax.while_loop(
+        cond, body, (e0, jnp.bool_(False), jnp.int32(0)))
+    # One full pass from the converged entries writes the audio.
+    out, _ = sweep_call(fscal, iscal, xk, e_fix)
 
     out = out.reshape(L, Rp)[:, :R].reshape(L, C, G)
     return jnp.moveaxis(out, 0, 2).reshape(C, Tp)[:, :T]

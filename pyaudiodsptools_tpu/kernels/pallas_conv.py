@@ -41,14 +41,38 @@ from .matmul_fft import _plan
 import os as _os
 
 _HI = jax.lax.Precision.HIGHEST
-_USE_B3 = _os.environ.get("PADT_FFT_PRECISION",
-                          "high").lower() != "highest"
+# Tiers: "highest" = f32 HIGHEST dots (~132 dB, slowest); "high" (default) =
+# direct bf16x3 (~102 dB); "fast" = Karatsuba complex bf16x3 — 9 MXU passes
+# per complex matmul instead of 12, but the 3-mult Gauss trick's cancellation
+# costs ~3 dB (~99 dB measured vs the FFT oracle).
+_TIER = _os.environ.get("PADT_FFT_PRECISION", "high").lower()
+_USE_B3 = _TIER != "highest"
+_USE_KARA = _TIER == "fast"
+
+
+def set_precision_tier(tier: str) -> None:
+    """Switch the conv precision tier at runtime ('highest'/'high'/'fast').
+
+    The tier is read at TRACE time: callers must rebuild any Chain / jitted
+    function after switching (fresh Chains create fresh jit caches), and the
+    host-side constant cache is cleared here. Intended for benchmarking both
+    tiers in one process; production selects via PADT_FFT_PRECISION."""
+    global _TIER, _USE_B3, _USE_KARA
+    _TIER = tier.lower()
+    _USE_B3 = _TIER != "highest"
+    _USE_KARA = _TIER == "fast"
+    _consts_np.cache_clear()
 
 
 @lru_cache(maxsize=None)
 def _consts_np(n: int, pairs: int):
-    """f32 numpy constants for size n with P pairs per step: DFT matrices
-    plus the twiddle and (empty) spectrum tiles repeated per pair."""
+    """Numpy constants for size n with P pairs per step.
+
+    The bf16x3 tier ships every DFT matrix PRE-SPLIT into hi/lo bfloat16
+    halves — plus the Karatsuba combinations sum = re+im and dif = re-im —
+    so the kernel never spends VPU passes splitting constants (f32 matrices
+    are kept for the HIGHEST tier). Twiddles stay f32 (elementwise only).
+    """
     n1, n2 = _plan(n)
     k1, k2 = np.arange(n1), np.arange(n2)
     f1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)
@@ -57,7 +81,21 @@ def _consts_np(n: int, pairs: int):
     twr = np.tile(tw.real.astype(np.float32), (1, pairs))   # (n1, P*n2)
     twi = np.tile(tw.imag.astype(np.float32), (1, pairs))
     c = lambda a: (a.real.astype(np.float32), a.imag.astype(np.float32))
-    return c(f1), c(f2), (twr, twi)
+    if not _USE_B3:
+        return (c(f1), c(f2)), (twr, twi)
+
+    def split(a):
+        a = a.astype(np.float32)
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        return np.asarray(hi), np.asarray(lo)
+
+    def parts(f):
+        re, im = f.real, f.imag
+        ms = (re, im, re + im, re - im) if _USE_KARA else (re, im)
+        return tuple(split(m) for m in ms)
+
+    return (parts(f1), parts(f2)), (twr, twi)
 
 
 def _split_b16(a):
@@ -66,47 +104,131 @@ def _split_b16(a):
     return hi, lo
 
 
-def _mm(a, b):
-    if not _USE_B3:
-        return jnp.dot(a, b, precision=_HI,
-                       preferred_element_type=jnp.float32)
-    ah, al = _split_b16(a)
-    bh, bl = _split_b16(b)
+def _mm3(c, dh, dl):
+    """bf16x3 product of a pre-split constant pair ``c = (ch_ref, cl_ref)``
+    and pre-split data (dh, dl): ch@dh + ch@dl + cl@dh (XLA's HIGH scheme)."""
+    ch, cl = c[0][:], c[1][:]
     d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
-    return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return d(ch, dh) + d(ch, dl) + d(cl, dh)
 
 
-def _conv_math(n1, n2, P, X, f1r, f1i, f2r, f2i, twr, twi, hr, hi):
+def _mm3r(dh, dl, c):
+    """Right-hand form: data @ constant."""
+    ch, cl = c[0][:], c[1][:]
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    return d(dh, ch) + d(dh, cl) + d(dl, ch)
+
+
+def _cmul_left_kara(F, ar, ai, conj: bool):
+    """Karatsuba complex matmul (F or conj(F)) @ (ar + i ai) with F's four
+    pre-split parts (re, im, re+im, re-im): 3 bf16x3 products instead of 4.
+    Data is split ONCE per operand here (the only per-step splits)."""
+    Fr, Fi, Fs, Fd = F
+    sh, sl = _split_b16(ar + ai)
+    ah, al = _split_b16(ar)
+    bh, bl = _split_b16(ai)
+    t1 = _mm3(Fr, ah, al)
+    t2 = _mm3(Fi, bh, bl)
+    if conj:       # yr = Fr@ar + Fi@ai ; yi = Fr@ai - Fi@ar
+        t3 = _mm3(Fd, sh, sl)
+        return t1 + t2, t3 - t1 + t2
+    else:          # yr = Fr@ar - Fi@ai ; yi = Fr@ai + Fi@ar
+        t3 = _mm3(Fs, sh, sl)
+        return t1 - t2, t3 - t1 - t2
+
+
+def _cmul_right_kara(ar, ai, F, conj: bool):
+    """Karatsuba (ar + i ai) @ (F or conj(F)), right-hand form."""
+    Fr, Fi, Fs, Fd = F
+    sh, sl = _split_b16(ar + ai)
+    ah, al = _split_b16(ar)
+    bh, bl = _split_b16(ai)
+    t1 = _mm3r(ah, al, Fr)
+    t2 = _mm3r(bh, bl, Fi)
+    if conj:       # yr = ar@Fr + ai@Fi ; yi = ai@Fr - ar@Fi
+        t3 = _mm3r(sh, sl, Fd)
+        return t1 + t2, t3 - t1 + t2
+    else:
+        t3 = _mm3r(sh, sl, Fs)
+        return t1 - t2, t3 - t1 - t2
+
+
+def _cmul_left_b3(F, ar, ai, conj: bool):
+    """Direct complex matmul with pre-split constants, bf16x3 products
+    (4 products / 12 MXU passes — no Gauss-trick cancellation)."""
+    Fr, Fi = F[0], F[1]
+    ah, al = _split_b16(ar)
+    bh, bl = _split_b16(ai)
+    Ar, Ai = _mm3(Fr, ah, al), _mm3(Fr, bh, bl)
+    Br, Bi = _mm3(Fi, ah, al), _mm3(Fi, bh, bl)
+    if conj:   # yr = Fr@ar + Fi@ai ; yi = Fr@ai - Fi@ar
+        return Ar + Bi, Ai - Br
+    return Ar - Bi, Ai + Br
+
+
+def _cmul_right_b3(ar, ai, F, conj: bool):
+    Fr, Fi = F[0], F[1]
+    ah, al = _split_b16(ar)
+    bh, bl = _split_b16(ai)
+    Ar, Ai = _mm3r(ah, al, Fr), _mm3r(bh, bl, Fr)
+    Br, Bi = _mm3r(ah, al, Fi), _mm3r(bh, bl, Fi)
+    if conj:   # yr = ar@Fr + ai@Fi ; yi = ai@Fr - ar@Fi
+        return Ar + Bi, Ai - Br
+    return Ar - Bi, Ai + Br
+
+
+def _mm_hi(a, b):
+    return jnp.dot(a, b, precision=_HI, preferred_element_type=jnp.float32)
+
+
+def _cmul_left_hi(F, ar, ai, conj: bool):
+    f1r, f1i = F
+    s = -1.0 if conj else 1.0
+    return (_mm_hi(f1r[:], ar) - s * _mm_hi(f1i[:], ai),
+            _mm_hi(f1r[:], ai) + s * _mm_hi(f1i[:], ar))
+
+
+def _cmul_right_hi(ar, ai, F, conj: bool):
+    f2r, f2i = F
+    if conj:   # (ar + i ai) @ conj(F)
+        return (_mm_hi(ar, f2r[:]) + _mm_hi(ai, f2i[:]),
+                _mm_hi(ai, f2r[:]) - _mm_hi(ar, f2i[:]))
+    return (_mm_hi(ar, f2r[:]) - _mm_hi(ai, f2i[:]),
+            _mm_hi(ar, f2i[:]) + _mm_hi(ai, f2r[:]))
+
+
+def _conv_math(n1, n2, P, X, F1, F2, twr, twi, hr, hi):
     """All DFT stages on a VMEM-resident block X (n1, 2*P*n2) whose column
-    halves are [real | imag] parts, pairs minor. Returns (zr, zi), each
-    (n1, P*n2): the time-domain circular convolutions in natural row-major
-    sample order per pair column slab."""
+    halves are [real | imag] parts, pairs minor. ``F1``/``F2`` are the
+    stage DFT matrices: pre-split bf16 part tuples on the bf16x3 tier, f32
+    (re, im) refs on the HIGHEST tier. Returns (zr, zi), each (n1, P*n2):
+    the time-domain circular convolutions in natural row-major sample order
+    per pair column slab."""
     h = P * n2  # column half: [0:h) = real parts, [h:2h) = imag parts
+    if _USE_KARA:
+        cmul_l, cmul_r = _cmul_left_kara, _cmul_right_kara
+    elif _USE_B3:
+        cmul_l, cmul_r = _cmul_left_b3, _cmul_right_b3
+    else:
+        cmul_l, cmul_r = _cmul_left_hi, _cmul_right_hi
 
-    # stage 1: contract n1. One matmul of the full block per DFT part —
-    # real and imaginary columns ride the same product.
-    A = _mm(f1r[:], X)
-    B = _mm(f1i[:], X)
-    yr = A[:, :h] - B[:, h:]
-    yi = A[:, h:] + B[:, :h]
+    # stage 1: contract n1
+    yr, yi = cmul_l(F1, X[:, :h], X[:, h:], conj=False)
 
     # twiddle (pair-tiled (n1, h))
     cr = yr * twr[:] - yi * twi[:]
     ci = yr * twi[:] + yi * twr[:]
 
     # stage 2: contract n2 (rows (n1*P, n2))
-    cr2 = cr.reshape(n1 * P, n2)
-    ci2 = ci.reshape(n1 * P, n2)
-    xr = _mm(cr2, f2r[:]) - _mm(ci2, f2i[:])
-    xi = _mm(cr2, f2i[:]) + _mm(ci2, f2r[:])
+    xr, xi = cmul_r(cr.reshape(n1 * P, n2), ci.reshape(n1 * P, n2), F2,
+                    conj=False)
 
     # spectrum multiply (h tiled to rows (n1*P, n2))
     ur = xr * hr[:] - xi * hi[:]
     ui = xr * hi[:] + xi * hr[:]
 
     # inverse stage 2: multiply by conj(F2)
-    vr = _mm(ur, f2r[:]) + _mm(ui, f2i[:])
-    vi = _mm(ui, f2r[:]) - _mm(ur, f2i[:])
+    vr, vi = cmul_r(ur, ui, F2, conj=True)
 
     # inverse twiddle (conjugate)
     vr = vr.reshape(n1, h)
@@ -115,14 +237,184 @@ def _conv_math(n1, n2, P, X, f1r, f1i, f2r, f2i, twr, twi, hr, hi):
     wi = vi * twr[:] - vr * twi[:]
 
     # inverse stage 1: conj(F1) @ W, scaled by 1/n
-    zr = (_mm(f1r[:], wr) + _mm(f1i[:], wi)) * (1.0 / (n1 * n2))
-    zi = (_mm(f1r[:], wi) - _mm(f1i[:], wr)) * (1.0 / (n1 * n2))
+    zr, zi = cmul_l(F1, wr, wi, conj=True)
+    s = 1.0 / (n1 * n2)
+    return zr * s, zi * s
+
+
+# ---------------------------------------------------------------------------
+# Radix-2 (DIF) outer split: for n with _plan(n)[0] >= 256 the 4-step's
+# per-sample cost 2*(n1+n2) is dominated by the sqrt-growth of n1. One
+# decimation-in-frequency level runs TWO size-n/2 pipelines whose plan is
+# square (e.g. n=32768: (256,128) -> 2x(128,128)), cutting MXU MACs by ~1/3
+# at the cost of two exact VPU butterflies and one twiddle — no extra
+# precision loss. The halves are contiguous ROW ranges of the (n1, n2)
+# window layout (sample s = r*n2 + c), so no in-kernel relayout is needed:
+#   a = x0 + x1;  b = (x0 - x1) * W_n^t          (forward DIF)
+#   out[t] = (e[t] + conj(W_n^t) o[t]) / 2;  out[t+m] = (e[t] - ...) / 2
+# where e/o are the size-m convolution pipelines against the even/odd bins
+# of the spectrum.
+# ---------------------------------------------------------------------------
+
+
+def use_radix2(n: int) -> bool:
+    # Default OFF until the Mosaic lowering is validated on a real chip
+    # (tests/test_tpu_lane.py); interpret-mode correctness is covered by
+    # tests/test_fusion.py::test_segmented_conv_fused_radix2 either way.
+    if _os.environ.get("PADT_CONV_RADIX2", "0") == "0":
+        return False
+    n1, n2 = _plan(n)
+    if n1 < 2 * n2 or n1 < 256:
+        return False
+    m1, m2 = _plan(n // 2)
+    return min(m1, m2) >= 128  # halves must keep full MXU-width contractions
+
+
+@lru_cache(maxsize=None)
+def _dif_np(n: int, pairs: int):
+    """DIF twiddle W_n^t over the first-half grid (n1/2, n2), pair-tiled."""
+    n1, n2 = _plan(n)
+    h1 = n1 // 2
+    t = (np.arange(h1)[:, None] * n2 + np.arange(n2)[None, :]).astype(
+        np.float64)
+    w = np.exp(-2j * np.pi * t / n)
+    return (np.tile(w.real.astype(np.float32), (1, pairs)),
+            np.tile(w.imag.astype(np.float32), (1, pairs)))
+
+
+def _conv_math_r2(n1, n2, m1, m2, P, X, F1, F2, twm_r, twm_i, dif_r, dif_i,
+                  hrE, hiE, hrO, hiO):
+    """Radix-2 wrapper around two size-m _conv_math cores (m = n/2).
+
+    X: (n1, 2*P*n2) with [real | imag] column halves. The size-m cores see
+    (n1/2, 2*P*n2) blocks in exactly the same layout because the m-plan's
+    minor factor equals n2 (asserted host-side). ``hrE/hiE`` carry the even
+    spectrum bins in m-grid layout; ``hrO/hiO`` the odd bins."""
+    h = P * n2
+    h1 = n1 // 2
+    x0r, x0i = X[:h1, :h], X[:h1, h:]
+    x1r, x1i = X[h1:, :h], X[h1:, h:]
+    ar, ai = x0r + x1r, x0i + x1i
+    dr, di = x0r - x1r, x0i - x1i
+    br = dr * dif_r[:] - di * dif_i[:]
+    bi = dr * dif_i[:] + di * dif_r[:]
+    A = jnp.concatenate([ar, ai], axis=1)
+    B = jnp.concatenate([br, bi], axis=1)
+    er, ei = _conv_math(m1, m2, P, A, F1, F2, twm_r, twm_i, hrE, hiE)
+    orr, oi = _conv_math(m1, m2, P, B, F1, F2, twm_r, twm_i, hrO, hiO)
+    # recombine with conj(W): Re(w' o) = or*wr + oi*wi; Im = oi*wr - or*wi
+    wor = orr * dif_r[:] + oi * dif_i[:]
+    woi = oi * dif_r[:] - orr * dif_i[:]
+    zr = jnp.concatenate([(er + wor), (er - wor)], axis=0) * 0.5
+    zi = jnp.concatenate([(ei + woi), (ei - woi)], axis=0) * 0.5
     return zr, zi
 
 
-def _kernel(n1, n2, P, x_ref, f1r, f1i, f2r, f2i, twr, twi, hr, hi, out_ref):
-    zr, zi = _conv_math(n1, n2, P, x_ref[:], f1r, f1i, f2r, f2i, twr, twi,
-                        hr, hi)
+def _const_inputs_flat(n: int, P: int, grid_ndim: int):
+    """Kernel-input form of the DFT constants for the active precision tier.
+
+    Returns (arrays, specs, pack): flat input arrays + their BlockSpecs, and
+    ``pack(refs) -> (F1, F2, twr_ref, twi_ref)`` regrouping the kernel's refs
+    into what _conv_math expects."""
+    (c1, c2), (twr, twi) = _consts_np(n, P)
+    n1, n2 = _plan(n)
+    idx = (lambda i: (0, 0)) if grid_ndim == 1 else (lambda c, g: (0, 0))
+    spec = lambda shape: pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+    if _USE_B3:
+        np1 = len(c1)  # pre-split part pairs per DFT matrix (2 or 4)
+        arrays = ([jnp.asarray(m) for pair in c1 for m in pair]
+                  + [jnp.asarray(m) for pair in c2 for m in pair]
+                  + [jnp.asarray(twr), jnp.asarray(twi)])
+        specs = ([spec((n1, n1))] * (2 * np1) + [spec((n2, n2))] * (2 * np1)
+                 + [spec((n1, P * n2))] * 2)
+
+        def pack(refs):
+            F1 = tuple((refs[2 * i], refs[2 * i + 1]) for i in range(np1))
+            F2 = tuple((refs[2 * np1 + 2 * i], refs[2 * np1 + 2 * i + 1])
+                       for i in range(np1))
+            return F1, F2, refs[4 * np1], refs[4 * np1 + 1]
+    else:
+        arrays = [jnp.asarray(m) for m in (c1[0], c1[1], c2[0], c2[1],
+                                           twr, twi)]
+        specs = ([spec((n1, n1))] * 2 + [spec((n2, n2))] * 2
+                 + [spec((n1, P * n2))] * 2)
+
+        def pack(refs):
+            return (refs[0], refs[1]), (refs[2], refs[3]), refs[4], refs[5]
+    return arrays, specs, pack
+
+
+def _const_inputs(n: int, P: int, grid_ndim: int):
+    """Constants + math dispatcher for size n, radix-2-aware.
+
+    Returns (arrays, specs, math, n_spec):
+      * arrays/specs — the constant kernel inputs and their BlockSpecs;
+      * math(X, const_refs, spec_refs) -> (zr, zi) — the whole conv math on
+        a VMEM-resident block;
+      * n_spec — how many spectrum-row inputs the kernel takes (2 flat /
+        4 radix-2; built per call by _spectrum_rows).
+    """
+    n1, n2 = _plan(n)
+    if not use_radix2(n):
+        arrays, specs, pack = _const_inputs_flat(n, P, grid_ndim)
+
+        def math(X, consts, spec_refs):
+            F1, F2, twr, twi = pack(consts)
+            return _conv_math(n1, n2, P, X, F1, F2, twr[:], twi[:],
+                              spec_refs[0], spec_refs[1])
+
+        return arrays, specs, math, 2
+
+    m = n // 2
+    m1, m2 = _plan(m)
+    assert m1 == n1 // 2 and m2 == n2, (n, (n1, n2), (m1, m2))
+    arrays, specs, pack = _const_inputs_flat(m, P, grid_ndim)
+    dif_r, dif_i = _dif_np(n, P)
+    idx = (lambda i: (0, 0)) if grid_ndim == 1 else (lambda c, g: (0, 0))
+    dspec = pl.BlockSpec((n1 // 2, P * n2), idx, memory_space=pltpu.VMEM)
+    n_core = len(arrays)
+    arrays = arrays + [jnp.asarray(dif_r), jnp.asarray(dif_i)]
+    specs = specs + [dspec, dspec]
+
+    def math(X, consts, spec_refs):
+        F1, F2, twr, twi = pack(consts[:n_core])
+        dr, di = consts[n_core], consts[n_core + 1]
+        return _conv_math_r2(n1, n2, m1, m2, P, X, F1, F2, twr[:], twi[:],
+                             dr, di, spec_refs[0], spec_refs[1],
+                             spec_refs[2], spec_refs[3])
+
+    return arrays, specs, math, 4
+
+
+def _spectrum_rows(packed_rfft, n: int, P: int):
+    """Per-call spectrum kernel inputs: row-tiled grids matching the math
+    dispatcher's layout. Returns (arrays, shapes)."""
+    n1, n2 = _plan(n)
+    hr_half, hi_half = packed_rfft[0], packed_rfft[1]
+    hr_full = jnp.concatenate([hr_half, hr_half[1:-1][::-1]])
+    hi_full = jnp.concatenate([hi_half, -hi_half[1:-1][::-1]])
+
+    def rows(hr, hi, g1, g2):
+        out = []
+        for hh in (hr, hi):
+            hg = hh.reshape(g2, g1).T
+            out.append(jnp.tile(hg[:, None, :], (1, P, 1)).reshape(g1 * P,
+                                                                   g2))
+        return out
+
+    if not use_radix2(n):
+        return rows(hr_full, hi_full, n1, n2), (n1 * P, n2)
+    m1, m2 = _plan(n // 2)
+    even = rows(hr_full[0::2], hi_full[0::2], m1, m2)
+    odd = rows(hr_full[1::2], hi_full[1::2], m1, m2)
+    return even + odd, (m1 * P, m2)
+
+
+def _kernel(math, n_consts, n_spec, x_ref, *rest):
+    consts = rest[:n_consts]
+    spec_refs = rest[n_consts:n_consts + n_spec]
+    out_ref = rest[n_consts + n_spec]
+    zr, zi = math(x_ref[:], consts, spec_refs)
     out_ref[:] = jnp.concatenate([zr, zi], axis=1)
 
 
@@ -145,31 +437,18 @@ def conv_pairs_fused(flat: jnp.ndarray, packed_rfft: jnp.ndarray, n: int,
     xk = flat.reshape(ng, P, 2, n1, n2)
     xk = jnp.transpose(xk, (3, 0, 2, 1, 4)).reshape(n1, ng * 2 * P * n2)
 
-    (f1r, f1i), (f2r, f2i), (twr, twi) = _consts_np(n, P)
-
-    # spectrum in grid layout, tiled per pair as rows (n1*P, n2)
-    hr_half, hi_half = packed_rfft[0], packed_rfft[1]
-    hr_full = jnp.concatenate([hr_half, hr_half[1:-1][::-1]])
-    hi_full = jnp.concatenate([hi_half, -hi_half[1:-1][::-1]])
-    hg_r = hr_full.reshape(n2, n1).T  # (n1, n2)
-    hg_i = hi_full.reshape(n2, n1).T
-    hrow_r = jnp.tile(hg_r[:, None, :], (1, P, 1)).reshape(n1 * P, n2)
-    hrow_i = jnp.tile(hg_i[:, None, :], (1, P, 1)).reshape(n1 * P, n2)
+    carrays, cspecs, math, n_spec = _const_inputs(n, P, grid_ndim=1)
+    spec_arrays, spec_shape = _spectrum_rows(packed_rfft, n, P)
 
     blk = 2 * P * n2
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_kernel, n1, n2, P),
+        partial(_kernel, math, len(carrays), n_spec),
         grid=(ng,),
-        in_specs=[
-            pl.BlockSpec((n1, blk), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            const2((n1, n1)), const2((n1, n1)),
-            const2((n2, n2)), const2((n2, n2)),
-            const2((n1, P * n2)), const2((n1, P * n2)),
-            const2((n1 * P, n2)), const2((n1 * P, n2)),
-        ],
+        in_specs=([pl.BlockSpec((n1, blk), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)]
+                  + cspecs + [const2(spec_shape)] * n_spec),
         out_specs=pl.BlockSpec((n1, blk), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n1, ng * blk), jnp.float32),
@@ -178,8 +457,7 @@ def conv_pairs_fused(flat: jnp.ndarray, packed_rfft: jnp.ndarray, n: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xk, jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(f2r),
-      jnp.asarray(f2i), jnp.asarray(twr), jnp.asarray(twi), hrow_r, hrow_i)
+    )(xk, *carrays, *spec_arrays)
 
     out = out.reshape(n1, ng, 2, P, n2)
     out = jnp.transpose(out, (1, 3, 2, 0, 4)).reshape(ng * rows_per_group, n)
@@ -202,9 +480,12 @@ def conv_pairs_fused(flat: jnp.ndarray, packed_rfft: jnp.ndarray, n: int,
 # (G+H)/G reads and exactly one write of the signal — nothing else.
 
 
-def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows,
-                f1r, f1i, f2r, f2i, twr, twi, hr, hi, x_hbm,
-                out_hbm, xscr, zscr, lsem, ssem):
+def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows, math, n_consts,
+                n_spec, *refs):
+    consts = refs[:n_consts]
+    spec_refs = refs[n_consts:n_consts + n_spec]
+    x_hbm = refs[n_consts + n_spec]
+    out_hbm, xscr, zscr, lsem, ssem = refs[n_consts + n_spec + 1:]
     # Double-buffered across grid steps: step i prefetches step i+1's
     # windows while computing, and step i's result stores are only waited
     # two steps later (when their zscr slot is about to be reused), so both
@@ -249,8 +530,7 @@ def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows,
     for p in range(2 * P):
         load_dma(i, slot, p).wait()
 
-    zr, zi = _conv_math(n1, n2, P, xscr[slot], f1r, f1i, f2r, f2i, twr, twi,
-                        hr, hi)
+    zr, zi = math(xscr[slot], consts, spec_refs)
 
     # zscr[slot] was last written at step i-2; its stores must have drained.
     @pl.when(i >= 2)
@@ -315,16 +595,8 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
     xp = jnp.pad(x, ((0, 0), (lead, L - lead - T)))
     x3 = xp.reshape(C, L // n2, n2)
 
-    (f1r, f1i), (f2r, f2i), (twr, twi) = _consts_np(n, P)
-
-    # spectrum tiled per pair as rows (n1*P, n2) — same grid layout as v1
-    hr_half, hi_half = packed_rfft[0], packed_rfft[1]
-    hr_full = jnp.concatenate([hr_half, hr_half[1:-1][::-1]])
-    hi_full = jnp.concatenate([hi_half, -hi_half[1:-1][::-1]])
-    hg_r = hr_full.reshape(n2, n1).T
-    hg_i = hi_full.reshape(n2, n1).T
-    hrow_r = jnp.tile(hg_r[:, None, :], (1, P, 1)).reshape(n1 * P, n2)
-    hrow_i = jnp.tile(hg_i[:, None, :], (1, P, 1)).reshape(n1 * P, n2)
+    carrays, cspecs, math, n_spec = _const_inputs(n, P, grid_ndim=2)
+    spec_arrays, spec_shape = _spectrum_rows(packed_rfft, n, P)
 
     halo_rows = halo * B // n2
     win_rows = seg_len // n2
@@ -332,17 +604,12 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda c, g: (0, 0),
                                         memory_space=pltpu.VMEM)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     out = pl.pallas_call(
-        partial(_kernel_dma, n1, n2, P, halo_rows, win_rows, grows),
+        partial(_kernel_dma, n1, n2, P, halo_rows, win_rows, grows, math,
+                len(carrays), n_spec),
         grid=(C, S // (2 * P)),
-        in_specs=[
-            const2((n1, n1)), const2((n1, n1)),
-            const2((n2, n2)), const2((n2, n2)),
-            const2((n1, P * n2)), const2((n1, P * n2)),
-            const2((n1 * P, n2)), const2((n1 * P, n2)),
-            any_spec,
-        ],
+        in_specs=(cspecs + [const2(spec_shape)] * n_spec + [any_spec]),
         out_specs=any_spec,
         out_shape=jax.ShapeDtypeStruct((C, S, grows, n2), jnp.float32),
         scratch_shapes=[
@@ -354,7 +621,6 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(f2r), jnp.asarray(f2i),
-      jnp.asarray(twr), jnp.asarray(twi), hrow_r, hrow_i, x3)
+    )(*carrays, *spec_arrays, x3)
 
     return out.reshape(C, S * seg_len)[:, :T]

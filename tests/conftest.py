@@ -10,6 +10,10 @@ import os
 # pre-import jax via sitecustomize); unit tests run on CPU with virtual devices
 # (override with PADT_TEST_PLATFORM=tpu to force real-chip tests).
 _platform = os.environ.get("PADT_TEST_PLATFORM", "cpu")
+if _platform == "tpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
+    # The dev chip rides the axon PJRT plugin (platform name 'axon', device
+    # kind TPU); a real pod/libtpu host keeps the plain 'tpu' name.
+    _platform = "axon"
 os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -187,6 +187,17 @@ def test_dynamics_cascade_matches_scan_fold():
     assert bool(jnp.all(out == want))
 
 
+def _conv_bar() -> float:
+    """SNR bar for the fused conv kernels: 100 dB on the default (direct
+    bf16x3) and highest tiers; the opt-in PADT_FFT_PRECISION=fast Karatsuba
+    tier trades ~3 dB for 25% fewer MXU passes (documented in pallas_conv.py)
+    and is barred at its measured floor minus margin."""
+    import os
+
+    return 95.0 if os.environ.get("PADT_FFT_PRECISION", "").lower() == "fast" \
+        else 100.0
+
+
 @pytest.mark.parametrize("n,B,P", [(16384, 5, 2), (32768, 7, 4), (65536, 4, 8)])
 def test_pallas_fused_conv_matches_fft(n, B, P):
     """The fully-fused Pallas conv kernel must equal irfft(rfft*H),
@@ -202,7 +213,7 @@ def test_pallas_fused_conv_matches_fft(n, B, P):
     got = np.asarray(conv_pairs_fused(jnp.asarray(x), packed, n,
                                       pairs_per_step=P, interpret=True))
     assert got.shape == (B, n)
-    assert snr_db(want.astype(np.float32), got) > 100.0
+    assert snr_db(want.astype(np.float32), got) > _conv_bar()
 
 
 @pytest.mark.parametrize("C,nb,klen,shift", [
@@ -211,6 +222,27 @@ def test_pallas_fused_conv_matches_fft(n, B, P):
     (2, 48, 4096, 2048),   # kernel exactly filling the halo
 ])
 def test_segmented_conv_fused_matches_oracle(C, nb, klen, shift):
+    _segmented_case(2048, C, nb, klen, shift)
+
+
+@pytest.mark.parametrize("C,nb,klen,shift", [(2, 25, 6000, 2047),
+                                             (1, 13, 1, 0)])
+def test_segmented_conv_fused_radix2(C, nb, klen, shift):
+    """The production geometry (B=4096, halo 2, seg 6 -> n=32768) takes the
+    radix-2 DIF path (use_radix2); oracle equality must hold there too."""
+    import os
+
+    os.environ["PADT_CONV_RADIX2"] = "1"
+    try:
+        from pyaudiodsptools_tpu.kernels.pallas_conv import use_radix2
+
+        assert use_radix2(32768)
+        _segmented_case(4096, C, nb, klen, shift)
+    finally:
+        os.environ.pop("PADT_CONV_RADIX2", None)
+
+
+def _segmented_case(B, C, nb, klen, shift):
     """The in-kernel-windowed segmented conv (manual HBM DMA of overlapping
     windows + wrap-free writeback) must equal the delayed linear convolution
     y[m] = conv(x, k)[m - shift] — the same contract segmented_fft_conv
@@ -218,7 +250,7 @@ def test_segmented_conv_fused_matches_oracle(C, nb, klen, shift):
     from pyaudiodsptools_tpu.kernels.pallas_conv import segmented_conv_fused
     from pyaudiodsptools_tpu.ops.fft_filter import pack_spectrum
 
-    B, halo, seg = 2048, 2, 6  # n = 16384
+    halo, seg = 2, 6  # n = 8 * B
     n = (halo + seg) * B
     rng = np.random.default_rng(klen % 89)
     x = rng.standard_normal((C, nb * B)).astype(np.float32)
@@ -231,4 +263,4 @@ def test_segmented_conv_fused_matches_oracle(C, nb, klen, shift):
         ref = np.concatenate([np.zeros((C, shift)), ref[:, : nb * B - shift]],
                              axis=1)
     assert got.shape == x.shape
-    assert snr_db(ref.astype(np.float32), got) > 100.0
+    assert snr_db(ref.astype(np.float32), got) > _conv_bar()
