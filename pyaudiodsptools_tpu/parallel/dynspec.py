@@ -24,8 +24,6 @@ single-device render (tests/test_dynspec.py asserts exact equality).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -114,5 +112,5 @@ def dynamics_offline_time_sharded(params, blocks: jnp.ndarray,
 
     pspec = jax.tree.map(lambda _: P(), params)
     spec = P("channel", "time", None)
-    return jax.shard_map(partial(local), mesh=mesh, in_specs=(pspec, spec),
+    return jax.shard_map(local, mesh=mesh, in_specs=(pspec, spec),
                          out_specs=spec, check_vma=False)(params, blocks)
