@@ -264,3 +264,22 @@ def _segmented_case(B, C, nb, klen, shift):
                              axis=1)
     assert got.shape == x.shape
     assert snr_db(ref.astype(np.float32), got) > _conv_bar()
+
+
+def test_set_precision_tier_roundtrip():
+    """Runtime tier switching rebuilds the pre-split constant sets (used by
+    single-process tier benchmarking)."""
+    from pyaudiodsptools_tpu.kernels import pallas_conv as pc
+
+    try:
+        pc.set_precision_tier("fast")
+        (c1, _), _ = pc._consts_np(16384, 2)
+        assert len(c1) == 4  # Karatsuba: re/im/sum/dif pre-split pairs
+        pc.set_precision_tier("high")
+        (c1, _), _ = pc._consts_np(16384, 2)
+        assert len(c1) == 2  # direct: re/im pairs
+        pc.set_precision_tier("highest")
+        (c1, _), _ = pc._consts_np(16384, 2)
+        assert isinstance(c1[0], np.ndarray) and c1[0].dtype == np.float32
+    finally:
+        pc.set_precision_tier("high")
