@@ -127,3 +127,26 @@ def test_chain8_kernel_backed_on_chip():
     # arithmetic ramp evaluation compound to ~94 dB end-to-end (measured on
     # chip) — 30+ dB above the 60 dB parity contract.
     assert snr_db(want, got) > 90.0
+
+
+def test_segmented_conv_radix2_on_chip(monkeypatch):
+    """The radix-2 DIF path (env-gated) at the production geometry
+    (B=4096, n=32768), real Mosaic lowering vs the numpy oracle."""
+    monkeypatch.setenv("PADT_CONV_RADIX2", "1")
+    from pyaudiodsptools_tpu.kernels.pallas_conv import (segmented_conv_fused,
+                                                         use_radix2)
+    from pyaudiodsptools_tpu.ops.fft_filter import pack_spectrum
+
+    assert use_radix2(32768)
+    B, halo, seg = 4096, 2, 6
+    n = (halo + seg) * B
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 13 * B)).astype(np.float32)
+    k = rng.standard_normal(6000) * 0.1
+    spec = pack_spectrum(np.fft.rfft(np.concatenate([k, np.zeros(n - 6000)])))
+    got = np.asarray(segmented_conv_fused(jnp.asarray(x), spec, B, halo, seg,
+                                          2047))
+    ref = np.stack([np.convolve(x[c], k)[: 13 * B] for c in range(2)])
+    ref = np.concatenate([np.zeros((2, 2047)), ref[:, : 13 * B - 2047]],
+                         axis=1)
+    assert snr_db(ref.astype(np.float32), got) > 95.0
