@@ -137,6 +137,18 @@ def plan_segments(kernel_len: int, block_size: int) -> tuple[int, int]:
     total = 8
     while total < 4 * halo:
         total *= 2
+    # On accelerator backends, grow the window (halo-waste shrinks as total
+    # grows) until it crosses the MXU matmul-FFT threshold (128x128 factors,
+    # matmul_fft.use_mxu_fft): small-block configs (B <= 1024) would
+    # otherwise stay on the several-times-slower VPU FFT fallback forever.
+    if jax.default_backend() != "cpu":
+        t = total
+        while t * block_size < 128 * 128 and t < 64:
+            t *= 2
+        from ..kernels.matmul_fft import use_mxu_fft
+
+        if use_mxu_fft(t * block_size):
+            total = t
     return halo, total - halo
 
 
