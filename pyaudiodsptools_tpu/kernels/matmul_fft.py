@@ -24,13 +24,16 @@ Im(y) -> conv_b. No rfft untangling, exact in infinite precision.
 Complex matmuls run as real einsums. Precision tiers measured on v5e for a
 full conv (fft -> spectrum multiply -> ifft) vs float64:
 
-    HIGHEST (bf16x6, ~= true f32)   128 dB   <- default
+    HIGHEST (bf16x6, ~= true f32)   128 dB   <- default FOR THIS MODULE
     HIGH    (bf16x3)                 89 dB   ~1% faster end-to-end
     DEFAULT (bf16)                   47 dB   rejected (parity bar is 60)
 
-After kernel lead-stripping the matmuls are no longer the chain
-bottleneck, so HIGH's precision tradeoff buys almost nothing — HIGHEST
-stays the default; ``PADT_FFT_PRECISION=high`` opts into bf16x3.
+NOTE ON DEFAULTS: this einsum path is only the FALLBACK for accelerator
+backends without Mosaic (the TPU chain runs kernels/pallas_conv.py, whose
+in-kernel bf16x3/Karatsuba tiers and their own measured dB/defaults are
+documented there — pallas_conv is the shipping configuration). Here the
+einsums are never the bottleneck, so the fallback keeps full-precision
+HIGHEST; ``PADT_FFT_PRECISION=high`` opts this module into bf16x3.
 """
 
 from __future__ import annotations

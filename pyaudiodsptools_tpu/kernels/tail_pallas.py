@@ -259,9 +259,9 @@ def _geometry(T: int, D_total: int, tile: int):
 
 def tail_kernel_supported(C: int, T: int, D_total: int,
                           tile: int = 32768) -> bool:
-    """Geometry guard: channel rows divisible, VMEM within budget."""
-    if C % ROWS:
-        return False
+    """Geometry guard: VMEM within budget (any C — rows are padded to the
+    8-row f32 sublane multiple inside :func:`tail_kernel`)."""
+    del C  # padded internally; per-step VMEM is independent of channel count
     D, S, _, _ = _geometry(T, D_total, tile)
     W = D + S
     vmem = 2 * ROWS * W * 4 + 2 * ROWS * S * 4 + 2 * W * 4
@@ -272,9 +272,18 @@ def tail_kernel(stages, n_scal: int, n_gain: int, D_total: int,
                 scal: jnp.ndarray, x: jnp.ndarray,
                 gains: jnp.ndarray | None,
                 tile: int = 32768, interpret: bool = False) -> jnp.ndarray:
-    """Run a fused tail over ``x``: (C, T) -> (C, T). C % 8 == 0 required."""
+    """Run a fused tail over ``x``: (C, T) -> (C, T), any C.
+
+    Channel rows are zero-padded up to the 8-row f32 sublane multiple: every
+    stage acts per-row (taps/gain along time, maps elementwise), so the pad
+    rows never influence the kept rows and are sliced off after the call —
+    this keeps mono (the reference's primary shape, Example1.py) on the fused
+    one-HBM-pass path instead of the sequential member fallback."""
     C, T = x.shape
-    assert C % ROWS == 0
+    pad_c = -C % ROWS
+    if pad_c:
+        x = jnp.pad(x, ((0, pad_c), (0, 0)))
+        C += pad_c
     D, S, NT, REM = _geometry(T, D_total, tile)
     NG = n_gain
     W = D + S
@@ -282,7 +291,7 @@ def tail_kernel(stages, n_scal: int, n_gain: int, D_total: int,
     if gains is None:
         gains = jnp.zeros((1, LANE), jnp.float32)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_kernel, stages, NT, S, D, REM, NG),
         grid=(C // ROWS, NT),
         in_specs=[
@@ -304,6 +313,7 @@ def tail_kernel(stages, n_scal: int, n_gain: int, D_total: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(scal, x, gains)
+    return out[:C - pad_c] if pad_c else out
 
 
 def fused_tail(effects, interpret: bool = False) -> Effect:

@@ -47,12 +47,21 @@ def _as_list(params):
 def _stepper():
     """Per-device sweep primitive: the serial Pallas kernel on TPU (VPU lanes
     across channels, no per-sample dispatch), the faithful scan elsewhere —
-    the two are bit-identical (tests/test_kernels.py)."""
-    if jax.default_backend() == "tpu":
+    the two are bit-identical (tests/test_kernels.py).
+
+    The kernel-inside-shard_map-inside-while_loop composition cannot run
+    compiled in CI (the chip has one device; CI meshes are virtual CPU
+    devices), so ``PADT_DYNSPEC_INTERPRET=1`` forces the Pallas stepper in
+    interpret mode on any backend — tests/test_dynspec.py exercises the
+    composition that way on the 8-device virtual mesh."""
+    import os
+
+    interpret = os.environ.get("PADT_DYNSPEC_INTERPRET", "0") == "1"
+    if jax.default_backend() == "tpu" or interpret:
         from ..kernels.dynamics_pallas import dynamics_pallas
 
         return lambda p, st, x: dynamics_pallas(
-            p, st, x, t_tile=min(1024, x.shape[-1]))
+            p, st, x, t_tile=min(1024, x.shape[-1]), interpret=interpret)
     return dyn.step
 
 

@@ -86,3 +86,71 @@ def test_one_block_latency():
     out = np.asarray(blk.combine_blocks(eff.offline(eff.params, blocks)))
     peak = np.argmax(np.abs(out))
     assert peak == 512
+
+
+# ---------------------------------------------------------------------------
+# plan_segments geometry (ops/fft_filter.plan_segments): the accelerator
+# branch grows small-block windows onto the MXU matmul-FFT path. CPU CI
+# never runs on that backend, so these tests monkeypatch
+# jax.default_backend to pin the exact (halo, seg) the planner picks —
+# a wrong window choice at B=512 would otherwise ship silently.
+# ---------------------------------------------------------------------------
+
+
+def _patched_plan(monkeypatch, backend, kernel_len, block_size):
+    import jax as _jax
+
+    from pyaudiodsptools_tpu.ops.fft_filter import plan_segments
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: backend)
+    return plan_segments(kernel_len, block_size)
+
+
+@pytest.mark.parametrize("block_size,kernel_len,want", [
+    # B=4096: total=8 already clears the 128*128 MXU threshold -> unchanged
+    (4096, 2047, (1, 7)),
+    # B=1024: window grows 8 -> 16 blocks to reach 16384 = 128*128
+    (1024, 511, (1, 15)),
+    # B=512: window grows 8 -> 32 blocks (16384 samples)
+    (512, 255, (1, 31)),
+    # B=512, 5-block kernel: halo=5 forces total>=32 via the 4x floor, and
+    # 32*512 = 16384 is already MXU-eligible
+    (512, 5 * 512 + 1, (5, 27)),
+    # B=512, kernel just past one block -> halo=2, 4x floor keeps total=8,
+    # growth 8 -> 32
+    (512, 512 + 2, (2, 30)),
+])
+def test_plan_segments_accelerator_geometry(monkeypatch, block_size,
+                                            kernel_len, want):
+    assert _patched_plan(monkeypatch, "tpu", kernel_len, block_size) == want
+
+
+@pytest.mark.parametrize("block_size,kernel_len,want", [
+    (4096, 2047, (1, 7)),
+    (1024, 511, (1, 7)),
+    (512, 255, (1, 7)),
+    (512, 5 * 512 + 1, (5, 27)),   # 4x-halo floor applies on every backend
+])
+def test_plan_segments_cpu_geometry(monkeypatch, block_size, kernel_len,
+                                    want):
+    assert _patched_plan(monkeypatch, "cpu", kernel_len, block_size) == want
+
+
+def test_plan_segments_grown_window_is_mxu_eligible(monkeypatch):
+    import jax as _jax
+
+    from pyaudiodsptools_tpu.kernels.matmul_fft import use_mxu_fft
+
+    for block_size, kernel_len in [(512, 255), (1024, 511), (4096, 2047)]:
+        halo, seg = _patched_plan(monkeypatch, "tpu", kernel_len, block_size)
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        assert use_mxu_fft((halo + seg) * block_size), (block_size, halo, seg)
+        # halo still covers the kernel and the window is a pow2 block count
+        assert halo * block_size >= kernel_len - 1
+        assert ((halo + seg) & (halo + seg - 1)) == 0
+
+
+def test_plan_segments_non_pow2_block_stays_on_fft_path(monkeypatch):
+    # a non-pow2 window can never hit the MXU tier: the planner must keep
+    # the default 8-block window rather than growing it for nothing
+    assert _patched_plan(monkeypatch, "tpu", 255, 500) == (1, 7)

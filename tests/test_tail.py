@@ -102,8 +102,26 @@ def test_mono_blocks_shape():
     want = _sequential(effects, blocks)
     got = fused_tail(effects, interpret=True).offline(
         tuple(e.params for e in effects), blocks)
-    # mono (nb, B) reshapes to C=1 which is not %8 -> sequential fallback
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    # mono (nb, B) reshapes to C=1: the kernel pads rows to the 8-sublane
+    # multiple internally, so mono rides the fused path (no fallback)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_mono_c1_through_kernel_with_taps():
+    # C=1 exercises the row-padding path with a delay halo: pad rows are
+    # zeros and must stay inert through taps/gain/map stages
+    effects = [ops.delay(CFG, time_in_ms=9.0, feedback_loops=2),
+               ops.tremolo(CFG, 0.3, 5.0),
+               ops.softclipper(CFG, 0.44)]
+    _check(effects, (12, 512))
+
+
+def test_c3_through_kernel():
+    # C=3 (not a sublane multiple): fused == sequential after row padding
+    effects = [ops.harddistortion(CFG),
+               ops.delay(CFG, time_in_ms=5.0, feedback_loops=2)]
+    _check(effects, (3, 6, 512), scale=0.4)
 
 
 def test_streaming_step_matches_members():

@@ -5,6 +5,17 @@ Run with  PADT_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_lane.py -q
 cases cover exactly the surfaces whose interpret-mode tests cannot catch a
 Mosaic lowering regression: the fused conv kernels, the dynamics kernels,
 the fused tail kernel, and one end-to-end kernel-backed chain render.
+
+Budget and discipline (measured round 3/4):
+* Full lane: ~230-360 s on an idle chip; budget 900 s — concurrent CPU load
+  has pushed it past 590 s. Per-round pass/fail + wall time is recorded in
+  TPU_LANE_r{N}.txt at the repo root.
+* Per-change smoke subset: ``-m tpu_smoke`` (~60 s) covers one case per
+  kernel family; run it after every kernel edit, the full lane before
+  committing a kernel change.
+* NEVER kill a running TPU process (single-client tunnel: a killed client
+  wedges the tunnel for up to ~45 min). Run under ``timeout``, serialize
+  all TPU processes, and let them exit.
 """
 
 import numpy as np
@@ -40,6 +51,7 @@ def test_segmented_conv_fused_on_chip():
     assert snr_db(ref.astype(np.float32), got) > 95.0
 
 
+@pytest.mark.tpu_smoke
 def test_conv_pairs_fused_on_chip():
     from pyaudiodsptools_tpu.kernels.pallas_conv import conv_pairs_fused
 
@@ -65,6 +77,7 @@ def _burst(channels, n, seed=5):
     return np.clip(x, -0.99, 0.99).astype(np.float32)
 
 
+@pytest.mark.tpu_smoke
 def test_dynamics_kernels_on_chip():
     """Serial kernel == speculative offline kernel == (ulp-close to) the
     faithful scan, all executing the real Mosaic lowering."""
@@ -88,6 +101,7 @@ def test_dynamics_kernels_on_chip():
     np.testing.assert_array_equal(np.asarray(got_serial), np.asarray(got_spec))
 
 
+@pytest.mark.tpu_smoke
 def test_fused_tail_on_chip():
     from pyaudiodsptools_tpu import EngineConfig, ops
     from pyaudiodsptools_tpu.kernels.tail_pallas import fused_tail
@@ -98,6 +112,27 @@ def test_fused_tail_on_chip():
     fused = fused_tail(effs)
     rng = np.random.default_rng(3)
     blocks = jnp.asarray((rng.standard_normal((2, 24, 512)) * 0.4
+                          ).astype(np.float32))
+    got = fused.offline(fused.params, blocks)
+    want = blocks
+    for e in effs:
+        want = e.offline(e.params, want)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+@pytest.mark.tpu_smoke
+def test_fused_tail_mono_on_chip():
+    """Mono (C=1, the reference's primary shape) rides the fused tail via
+    internal row padding — real Mosaic lowering, not interpret mode."""
+    from pyaudiodsptools_tpu import EngineConfig, ops
+    from pyaudiodsptools_tpu.kernels.tail_pallas import fused_tail
+
+    cfg = EngineConfig(44100, 512)
+    effs = [ops.delay(cfg, 150.0, 2), ops.tremolo(cfg, 0.3, 5.0),
+            ops.softclipper(cfg, 0.44)]
+    fused = fused_tail(effs)
+    rng = np.random.default_rng(9)
+    blocks = jnp.asarray((rng.standard_normal((24, 512)) * 0.4
                           ).astype(np.float32))
     got = fused.offline(fused.params, blocks)
     want = blocks
