@@ -45,3 +45,26 @@ def test_sphinx_index_covers_package():
         sys.path.pop(0)
     for modname, _ in gen_api.MODULES:
         assert modname in index, f"{modname} missing from docs/index.rst"
+
+
+def test_html_fallback_builds():
+    """The dependency-free HTML site (docs/gen_html.py — the executable
+    docs build for sphinx-less environments) renders every page and the
+    output is well-formed enough to serve: one <html> per page, balanced
+    code fences, and the api reference's module headings present."""
+    r = subprocess.run(
+        [sys.executable, str(DOCS / "gen_html.py")],
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": str(DOCS.parent)})
+    assert r.returncode == 0, r.stdout + r.stderr
+    out = DOCS / "_build" / "html"
+    pages = sorted(p.name for p in out.glob("*.html"))
+    assert "index.html" in pages and "api.html" in pages, pages
+    api = (out / "api.html").read_text()
+    assert api.count("<html") == 1
+    assert "<h2>" in api
+    assert "pyaudiodsptools_tpu.ops.fft_filter" in api
+    arch = (out / "architecture.html").read_text()
+    assert "<pre><code>" in arch  # code fences survive the renderer
+    index = (out / "index.html").read_text()
+    assert 'href="api.html"' in index
