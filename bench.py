@@ -66,18 +66,32 @@ def main() -> None:
     # return before execution completes there, so the only honest clock stop
     # is a host readback that DEPENDS on the result. Each timed run renders
     # N chained passes (pass i+1's input depends on pass i's output, so they
-    # cannot overlap) and fetches a checksum scalar inside the timed region;
-    # the single ~tens-of-ms tunnel roundtrip amortizes over the N passes.
+    # cannot overlap) and fetches a checksum scalar inside the timed region.
+    # The readback costs a FIXED ~20-25 ms tunnel round-trip (measured:
+    # N=1 -> 28.5 ms/pass, N=16 -> 3.8 ms/pass for a trivial op, identical
+    # for host-side and in-graph fori_loop chaining — so it is sync latency,
+    # not per-dispatch cost); N=16 amortizes it to ~1.5 ms and the estimated
+    # RTT is reported alongside.
     checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
     chain_fn = chain.render_blocks
     renb = jax.jit(lambda b, o, eps: chain_fn(b + eps * o))
-    N = 4
+    N = 16
     eps = jnp.float32(1e-6)  # nonzero: every pass computes on genuinely new data
 
     # compile + warmup (render and checksum programs)
     out = renb(blocks, blocks, eps)
     peak = float(checksum(out))
     assert np.isfinite(peak) and peak > 0, f"bad output (peak={peak})"
+
+    # sync RTT estimate: readback of a tiny dependent scalar
+    tiny = jax.jit(lambda o: jnp.max(jnp.abs(o[..., :1, :8])))
+    float(tiny(out))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(tiny(out))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
 
     runs = []
     for _ in range(3):
@@ -101,6 +115,8 @@ def main() -> None:
             "channels": CHANNELS,
             "block_size": BLOCK_SIZE,
             "wall_s": round(dt, 4),
+            "passes_per_timed_region": N,
+            "sync_rtt_ms": round(rtt * 1e3, 2),
             "realtime_factor_per_chip": round(samples_per_s / SAMPLE_RATE, 1),
         },
     }

@@ -45,6 +45,10 @@ _HI = jax.lax.Precision.HIGHEST
 # direct bf16x3 (~102 dB); "fast" = Karatsuba complex bf16x3 — 9 MXU passes
 # per complex matmul instead of 12, but the 3-mult Gauss trick's cancellation
 # costs ~3 dB (~99 dB measured vs the FFT oracle).
+# Chain A/B on chip (BENCH_AB_r04.json, radix-2 on): fast 2.878 vs high
+# 2.869 Gsamples/s — 0.3%, within run noise — so "high" keeps the default
+# and its extra 3 dB; "fast" stays one env var away for bandwidth-starved
+# deployments.
 _TIER = _os.environ.get("PADT_FFT_PRECISION", "high").lower()
 _USE_B3 = _TIER != "highest"
 _USE_KARA = _TIER == "fast"
@@ -258,10 +262,12 @@ def _conv_math(n1, n2, P, X, F1, F2, twr, twi, hr, hi):
 
 
 def use_radix2(n: int) -> bool:
-    # Default OFF until the Mosaic lowering is validated on a real chip
-    # (tests/test_tpu_lane.py); interpret-mode correctness is covered by
-    # tests/test_fusion.py::test_segmented_conv_fused_radix2 either way.
-    if _os.environ.get("PADT_CONV_RADIX2", "0") == "0":
+    # Default ON: validated on chip at the production geometry
+    # (tests/test_tpu_lane.py::test_segmented_conv_radix2_on_chip, n=32768,
+    # >95 dB) and A/B'd on the full chain — radix-2 wins 2.87 vs 2.75
+    # Gsamples/s at the bf16x3 tier (BENCH_AB_r04.json, 64ch x 30s).
+    # PADT_CONV_RADIX2=0 restores the flat 4-step.
+    if _os.environ.get("PADT_CONV_RADIX2", "1") == "0":
         return False
     n1, n2 = _plan(n)
     if n1 < 2 * n2 or n1 < 256:
@@ -424,7 +430,7 @@ def conv_pairs_fused(flat: jnp.ndarray, packed_rfft: jnp.ndarray, n: int,
     """Drop-in for matmul_fft.conv_pairs: circular convolution of real rows
     (B, n) with a real kernel's packed rfft, one fused kernel pass."""
     n1, n2 = _plan(n)
-    P = pairs_per_step
+    P = auto_pairs(n, pairs_per_step)
     B = flat.shape[0]
     rows_per_group = 2 * P
     pad_rows = (-B) % rows_per_group
@@ -553,6 +559,19 @@ def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows, math, n_consts,
             store_dma(i, slot, p).wait()
 
 
+def auto_pairs(n: int, requested: int = 4) -> int:
+    """Largest pairs-per-step that keeps the kernel's scoped VMEM inside the
+    100 MB limit. The peak live set (double-buffered window+result scratch
+    plus the _conv_math stage intermediates) measures ~55 bytes per P*n
+    sample slot (empirical: the first large-window capture OOM'd at
+    n=524288, P=4 with a 115.9 MB stack — reverb at B=4096; 80 MB budget
+    leaves headroom for the constant sets)."""
+    p = requested
+    while p > 1 and 55 * p * n > 80 * 1024 * 1024:
+        p //= 2
+    return p
+
+
 def use_fused_dma(n: int, block_size: int) -> bool:
     """Eligibility for the in-kernel-windowed path: MXU-worthy pow2 size and
     window geometry expressible as whole (.., n2) rows."""
@@ -579,7 +598,7 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
     B = block_size
     n = (halo + seg) * B
     n1, n2 = _plan(n)
-    P = pairs_per_step
+    P = auto_pairs(n, pairs_per_step)
     C, T = x.shape
     seg_len = seg * B
     assert B % n2 == 0 and n1 * n2 == n

@@ -58,15 +58,23 @@ def conv_cost(C: int, T: int, block_size: int, halo: int, seg: int,
     """
     import os
 
+    from .kernels.pallas_conv import auto_pairs, use_radix2
+
     tier = tier or os.environ.get("PADT_FFT_PRECISION", "high").lower()
     B = block_size
     n = (halo + seg) * B
-    n1, n2 = _plan(n)
     seg_len = seg * B
     n_seg = -(-T // seg_len)
-    S = -(-n_seg // (2 * pairs_per_step)) * (2 * pairs_per_step)  # padded
+    P = auto_pairs(n, pairs_per_step)  # VMEM guard shrinks P for big windows
+    S = -(-n_seg // (2 * P)) * (2 * P)  # padded
     pair_windows = C * S / 2
-    cmacs = pair_windows * 2 * n * (n1 + n2)
+    if use_radix2(n):
+        # one DIF level: two size-n/2 pipelines -> 2 * 2*(n/2)*(m1+m2) cMACs
+        m1, m2 = _plan(n // 2)
+        cmacs = pair_windows * 2 * n * (m1 + m2)
+    else:
+        n1, n2 = _plan(n)
+        cmacs = pair_windows * 2 * n * (n1 + n2)
     products = 3 if tier == "fast" else 4
     passes = 6 if tier == "highest" else 3
     mxu_flops = cmacs * products * passes * 2  # MAC = mul+add

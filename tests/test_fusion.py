@@ -283,3 +283,15 @@ def test_set_precision_tier_roundtrip():
         assert isinstance(c1[0], np.ndarray) and c1[0].dtype == np.float32
     finally:
         pc.set_precision_tier("high")
+
+
+def test_auto_pairs_vmem_guard():
+    """Large conv windows shrink pairs-per-step so the kernel's scoped VMEM
+    stays inside the 100 MB limit (the reverb-at-B=4096 window, n=524288,
+    OOM'd at P=4: 115.9 MB)."""
+    from pyaudiodsptools_tpu.kernels.pallas_conv import auto_pairs
+
+    assert auto_pairs(32768) == 4       # production chain geometry
+    assert auto_pairs(262144) == 4      # fits: ~57.7 MB
+    assert auto_pairs(524288) == 2      # reverb at B=4096
+    assert auto_pairs(1048576) == 1
