@@ -104,11 +104,38 @@ def _calibrate(pk):
         times.append(max(el - _SYNC_RTT[0], el / 2) / 8)
     dt_mm = min(times)
     flops = 2 * m ** 3 / dt_mm
+
+    # VPU: 64 dependent fused multiply-adds per element on a 64 MB array —
+    # one fused elementwise kernel, compute-bound (16 MB/64fma >> HBM time)
+    K = 64
+    xv = jnp.full((16, 1024 * 1024), 1.0001, jnp.float32)
+    xv.block_until_ready()
+
+    @jax.jit
+    def fmachain(v, a, b):
+        for _ in range(K):
+            v = v * a + b
+        return v
+    av, bv = jnp.float32(0.9999), jnp.float32(1e-7)
+    o = fmachain(xv, av, bv)
+    float(checksum(o))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o2 = o
+        for _ in range(8):
+            o2 = fmachain(o2, av, bv)
+        float(checksum(o2))
+        el = time.perf_counter() - t0
+        times.append(max(el - _SYNC_RTT[0], el / 2) / 8)
+    vpu_flops = 2.0 * K * xv.size / min(times)
     return {
         "hbm_copy_gbps": round(hbm / 1e9, 1),
         "hbm_copy_pct_of_spec": round(100 * hbm / pk.hbm_bytes_per_s, 1),
         "mxu_bf16_tflops": round(flops / 1e12, 1),
         "mxu_pct_of_spec": round(100 * flops / pk.mxu_bf16_flops, 1),
+        "vpu_fma_tflops": round(vpu_flops / 1e12, 2),
+        "vpu_pct_of_spec": round(100 * vpu_flops / pk.vpu_f32_flops, 1),
         "sync_rtt_ms": round(_SYNC_RTT[0] * 1e3, 2),
     }
 

@@ -486,12 +486,19 @@ def conv_pairs_fused(flat: jnp.ndarray, packed_rfft: jnp.ndarray, n: int,
 # (G+H)/G reads and exactly one write of the signal — nothing else.
 
 
-def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows, math, n_consts,
-                n_spec, *refs):
+def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows, rho, tail0, math,
+                n_consts, n_spec, *refs):
+    """``rho``/``tail0`` drive the no-pad gather (segmented_conv_fused):
+    rho > 0 or tail0 >= 0 means x_hbm is the UNPADDED signal viewed as
+    (C, T//n2, n2): window rows are offset by -rho, the first window's
+    missing head is rolled+zeroed in VMEM, and windows past ``tail0`` load
+    from the small zero-extended tail buffer instead. tail0 < 0 disables
+    the tail redirect (padded path)."""
     consts = refs[:n_consts]
     spec_refs = refs[n_consts:n_consts + n_spec]
     x_hbm = refs[n_consts + n_spec]
-    out_hbm, xscr, zscr, lsem, ssem = refs[n_consts + n_spec + 1:]
+    t_hbm = refs[n_consts + n_spec + 1]
+    out_hbm, xscr, zscr, lsem, ssem = refs[n_consts + n_spec + 2:]
     # Double-buffered across grid steps: step i prefetches step i+1's
     # windows while computing, and step i's result stores are only waited
     # two steps later (when their zscr slot is about to be reused), so both
@@ -507,13 +514,43 @@ def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows, math, n_consts,
     def col(p):
         return ((p % 2) * P + p // 2) * n2
 
-    def load_dma(j, s, p):
-        c = jax.lax.div(j, ng)
+    NOPAD = tail0 >= 0
+
+    def _row0(j, p):
         base = jax.lax.rem(j, ng) * 2 * P
+        return (base + p) * win_rows - rho
+
+    def _main_desc(j, s, p):
+        c = jax.lax.div(j, ng)
+        row0 = _row0(j, p)
+        start = jnp.maximum(row0, 0) if NOPAD else row0
         return pltpu.make_async_copy(
-            x_hbm.at[c, pl.ds((base + p) * win_rows, n1), :],
+            x_hbm.at[c, pl.ds(start, n1), :],
             xscr.at[s, :, pl.ds(col(p), n2)],
             lsem.at[s, p])
+
+    def _tail_desc(j, s, p):
+        # windows past the signal end read the small zero-extended tail
+        # buffer; same shape and semaphore, so the wait below matches either
+        c = jax.lax.div(j, ng)
+        tstart = jnp.clip(_row0(j, p) - tail0, 0, n1)
+        return pltpu.make_async_copy(
+            t_hbm.at[c, pl.ds(tstart, n1), :],
+            xscr.at[s, :, pl.ds(col(p), n2)],
+            lsem.at[s, p])
+
+    def start_load(j, s, p):
+        if not NOPAD:
+            _main_desc(j, s, p).start()
+            return
+        use_tail = _row0(j, p) > tail0
+        pl.when(jnp.logical_not(use_tail))(
+            lambda: _main_desc(j, s, p).start())
+        pl.when(use_tail)(lambda: _tail_desc(j, s, p).start())
+
+    def wait_load(j, s, p):
+        # equal byte counts on the same semaphore: one descriptor serves
+        _main_desc(j, s, p).wait()
 
     def store_dma(j, s, p):
         c = jax.lax.div(j, ng)
@@ -526,15 +563,26 @@ def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows, math, n_consts,
     @pl.when(i == 0)
     def _warmup():
         for p in range(2 * P):
-            load_dma(i, slot, p).start()
+            start_load(i, slot, p)
 
     @pl.when(i + 1 < total)
     def _prefetch():
         for p in range(2 * P):
-            load_dma(i + 1, nslot, p).start()
+            start_load(i + 1, nslot, p)
 
     for p in range(2 * P):
-        load_dma(i, slot, p).wait()
+        wait_load(i, slot, p)
+
+    if NOPAD and rho:
+        # window 0 (this channel's first grid step, slab p=0 at columns
+        # [0, n2)) was loaded from row 0 instead of row -rho: shift its rows
+        # down by the static rho and zero the before-start head.
+        @pl.when(pl.program_id(1) == 0)
+        def _head_fix():
+            blk = xscr[slot, :, 0:n2]
+            rolled = pltpu.roll(blk, shift=rho, axis=0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+            xscr[slot, :, 0:n2] = jnp.where(rows < rho, 0.0, rolled)
 
     zr, zi = math(xscr[slot], consts, spec_refs)
 
@@ -585,7 +633,7 @@ def use_fused_dma(n: int, block_size: int) -> bool:
 
 def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
                          block_size: int, halo: int, seg: int, shift: int,
-                         pairs_per_step: int = 4,
+                         pairs_per_step: int = 4, slack: int | None = None,
                          interpret: bool = False) -> jnp.ndarray:
     """Segmented overlap-save linear convolution with output delay, fully
     in-kernel: ``y[m] = conv(x, h)[m - shift]`` per channel.
@@ -594,6 +642,21 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
     Windows of n samples at stride seg*B (left halo covering the kernel) are
     gathered by DMA inside the kernel; only each window's wrap-free last
     seg*B samples are written back. Returns (C, T) float32.
+
+    No-pad gather: the old path materialized a full left-shifted copy of
+    the signal (``jnp.pad`` by halo*B + shift) just to make every window's
+    rows line up — two full HBM passes of pure data movement (~1.5 ms at
+    the flagship geometry, measured in BENCH_OPS.json). Instead the kernel
+    now gathers straight from the unpadded signal: the row-aligned part of
+    the offset moves into the DMA index (rho rows), the sub-row remainder
+    delta moves into the spectrum as an exact unit-phasor delay
+    (h'[k] = h[k-delta], phases built in float64 at trace time), window 0's
+    missing head rows are rolled+zeroed in VMEM (static shift), and the few
+    windows past the signal end read a small zero-extended tail buffer.
+    Requires halo*B >= kernel_len - 1 + delta: ``slack`` is the caller's
+    halo*B - (kernel_len - 1); when delta > 0 and slack is unknown or too
+    small, the padded path is kept (delta == 0 — every shift-free caller —
+    needs no slack).
     """
     B = block_size
     n = (halo + seg) * B
@@ -605,30 +668,50 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
 
     n_seg = -(-T // seg_len)
     S = -(-n_seg // (2 * P)) * (2 * P)  # segments padded per channel
-    # Padded signal: window s reads [s*seg_len, s*seg_len + n); data starts
-    # at halo*B + shift (gathering each window `shift` early lands its
-    # wrap-free region exactly on the delayed output, fft_filter.py docs).
+    # Window s reads samples [s*seg_len - halo*B - shift, ... + n): the
+    # halo covers the kernel and gathering `shift` early lands the
+    # wrap-free region exactly on the delayed output (fft_filter.py docs).
     lead = halo * B + shift
-    L = max((S - 1) * seg_len + n, lead + T)
-    L = -(-L // n2) * n2
-    xp = jnp.pad(x, ((0, 0), (lead, L - lead - T)))
-    x3 = xp.reshape(C, L // n2, n2)
+    win_rows = seg_len // n2
+    halo_rows = halo * B // n2
+    grows = n1 - halo_rows  # wrap-free rows per window = seg_len // n2
+
+    delta = shift % n2
+    rho = (lead - delta) // n2
+    nopad = (T % n2 == 0 and T // n2 >= n1 and 0 <= rho <= min(win_rows, n1 - 1)
+             and (delta == 0 or (slack is not None and delta <= slack)))
+    if nopad:
+        if delta:
+            k = np.arange(n // 2 + 1)
+            ph = np.exp(-2j * np.pi * delta / n * k)  # float64 phases
+            cr = jnp.asarray(ph.real.astype(np.float32))
+            si = jnp.asarray(ph.imag.astype(np.float32))
+            hr, hi = packed_rfft[0], packed_rfft[1]
+            packed_rfft = jnp.stack([hr * cr - hi * si, hi * cr + hr * si])
+        x3 = x.reshape(C, T // n2, n2)
+        tail0 = T // n2 - n1
+        tbuf = jnp.concatenate(
+            [x3[:, tail0:, :], jnp.zeros((C, n1, n2), x.dtype)], axis=1)
+    else:
+        L = max((S - 1) * seg_len + n, lead + T)
+        L = -(-L // n2) * n2
+        xp = jnp.pad(x, ((0, 0), (lead, L - lead - T)))
+        x3 = xp.reshape(C, L // n2, n2)
+        tbuf = jnp.zeros((C, 1, n2), x.dtype)
+        rho, tail0 = 0, -1
 
     carrays, cspecs, math, n_spec = _const_inputs(n, P, grid_ndim=2)
     spec_arrays, spec_shape = _spectrum_rows(packed_rfft, n, P)
-
-    halo_rows = halo * B // n2
-    win_rows = seg_len // n2
-    grows = n1 - halo_rows  # wrap-free rows per window = seg_len // n2
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda c, g: (0, 0),
                                         memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     out = pl.pallas_call(
-        partial(_kernel_dma, n1, n2, P, halo_rows, win_rows, grows, math,
-                len(carrays), n_spec),
+        partial(_kernel_dma, n1, n2, P, halo_rows, win_rows, grows, rho,
+                tail0, math, len(carrays), n_spec),
         grid=(C, S // (2 * P)),
-        in_specs=(cspecs + [const2(spec_shape)] * n_spec + [any_spec]),
+        in_specs=(cspecs + [const2(spec_shape)] * n_spec
+                  + [any_spec, any_spec]),
         out_specs=any_spec,
         out_shape=jax.ShapeDtypeStruct((C, S, grows, n2), jnp.float32),
         scratch_shapes=[
@@ -640,6 +723,6 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*carrays, *spec_arrays, x3)
+    )(*carrays, *spec_arrays, x3, tbuf)
 
     return out.reshape(C, S * seg_len)[:, :T]

@@ -164,7 +164,8 @@ def pack_segmented_kernel(kernel: np.ndarray, block_size: int
 
 def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
                        shift: int, block_size: int, halo_blocks: int = 1,
-                       seg_blocks: int = SEGMENT_BLOCKS) -> jnp.ndarray:
+                       seg_blocks: int = SEGMENT_BLOCKS,
+                       slack: int | None = None) -> jnp.ndarray:
     """Linear convolution + output delay via large-segment overlap-save.
 
     The reference's per-block scheme FFTs every block three times (3B window
@@ -192,7 +193,8 @@ def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
 
         if use_fused_dma((G + H) * B, B):
             flat = x.reshape((-1, nb * B))
-            y = segmented_conv_fused(flat, spectrum_seg, B, H, G, shift)
+            y = segmented_conv_fused(flat, spectrum_seg, B, H, G, shift,
+                                     slack=slack)
             return y.reshape(lead + (nb, B)).astype(jnp.float32)
     # Left padding = halo + the output delay: gathering every window `shift`
     # samples earlier makes its wrap-free region land exactly on
@@ -216,7 +218,7 @@ def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
 
 
 @pytree_dataclass(meta_fields=("block_size", "halo", "seg", "halo_stream",
-                               "lead"))
+                               "lead", "slack"))
 class FIRParams:
     spectrum: jnp.ndarray      # (2, (halo_stream+1)B//2+1) — streaming window
     spectrum_seg: jnp.ndarray  # (2, (halo+seg)B//2 + 1) — offline segments
@@ -225,6 +227,8 @@ class FIRParams:
     seg: int                   # output blocks per offline FFT window
     halo_stream: int           # streaming history blocks (pow2 window - 1)
     lead: int                  # stripped zero prefix, re-applied as delay
+    slack: int = 0             # halo*B - (stripped kernel len - 1): room for
+                               # the no-pad gather's sub-row spectral delay
 
 
 def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
@@ -258,11 +262,13 @@ def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
     stream_len = (halo_stream + 1) * B
     spec_stream = np.fft.rfft(
         np.concatenate([kernel, np.zeros(stream_len - len(kernel))]))
+    klen_stripped = len(kernel) - lead if nz.size else 1
     params = FIRParams(
         spectrum=pack_spectrum(spec_stream),
         spectrum_seg=spec_seg,
         block_size=B, halo=halo, seg=seg, halo_stream=halo_stream,
         lead=lead,
+        slack=halo * B - (klen_stripped - 1),
     )
     return Effect(name=name, params=params, init_state=fir_init_state,
                   step=fir_step, offline=fir_offline,
@@ -302,7 +308,8 @@ def fir_step(params: FIRParams, state, block: jnp.ndarray):
 
 def fir_offline(params: FIRParams, blocks: jnp.ndarray) -> jnp.ndarray:
     return segmented_fft_conv(params.spectrum_seg, blocks, params.lead,
-                              params.block_size, params.halo, params.seg)
+                              params.block_size, params.halo, params.seg,
+                              slack=params.slack)
 
 
 def fuse_lti(effects, name: str = "fir_cascade") -> Effect:

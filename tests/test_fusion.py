@@ -242,7 +242,7 @@ def test_segmented_conv_fused_radix2(C, nb, klen, shift):
         os.environ.pop("PADT_CONV_RADIX2", None)
 
 
-def _segmented_case(B, C, nb, klen, shift):
+def _segmented_case(B, C, nb, klen, shift, slack=None):
     """The in-kernel-windowed segmented conv (manual HBM DMA of overlapping
     windows + wrap-free writeback) must equal the delayed linear convolution
     y[m] = conv(x, k)[m - shift] — the same contract segmented_fft_conv
@@ -257,7 +257,8 @@ def _segmented_case(B, C, nb, klen, shift):
     k = rng.standard_normal(klen) * 0.1
     spec = pack_spectrum(np.fft.rfft(np.concatenate([k, np.zeros(n - klen)])))
     got = np.asarray(segmented_conv_fused(jnp.asarray(x), spec, B, halo, seg,
-                                          shift, interpret=True))
+                                          shift, slack=slack,
+                                          interpret=True))
     ref = np.stack([np.convolve(x[c], k)[: nb * B] for c in range(C)])
     if shift:
         ref = np.concatenate([np.zeros((C, shift)), ref[:, : nb * B - shift]],
@@ -295,3 +296,27 @@ def test_auto_pairs_vmem_guard():
     assert auto_pairs(262144) == 4      # fits: ~57.7 MB
     assert auto_pairs(524288) == 2      # reverb at B=4096
     assert auto_pairs(1048576) == 1
+
+
+@pytest.mark.parametrize("C,nb,klen,shift", [
+    (2, 25, 2000, 1371),   # delta = 1371 % 128 = 91 -> spectral delay
+    (1, 26, 3500, 597),    # mono; delta = 85; ample slack
+])
+def test_segmented_conv_fused_nopad_spectral_shift(C, nb, klen, shift):
+    """The no-pad gather with a NON-row-aligned output delay: the sub-row
+    remainder rides the spectrum as an exact unit-phasor delay (slack
+    provided and sufficient), so no full-signal pad copy happens. Oracle
+    equality must hold bit-for-SNR with the padded path's contract."""
+    B, halo = 2048, 2
+    slack = halo * B - (klen - 1)
+    n2 = 128  # _plan(16384)[1]
+    assert shift % n2 != 0 and slack >= shift % n2  # the path under test
+    _segmented_case(B, C, nb, klen, shift, slack=slack)
+
+
+def test_segmented_conv_fused_insufficient_slack_falls_back():
+    """When the kernel nearly fills the halo, the sub-row delay would break
+    the wrap-free region: the padded path must be kept (and stay correct)."""
+    B, halo, klen, shift = 2048, 2, 4095, 1371  # slack = 2 < delta = 91
+    assert halo * B - (klen - 1) < 1371 % 128
+    _segmented_case(B, 2, 25, klen, shift, slack=halo * B - (klen - 1))
