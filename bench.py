@@ -70,12 +70,12 @@ def main() -> None:
     # The readback costs a FIXED ~20-25 ms tunnel round-trip (measured:
     # N=1 -> 28.5 ms/pass, N=16 -> 3.8 ms/pass for a trivial op, identical
     # for host-side and in-graph fori_loop chaining — so it is sync latency,
-    # not per-dispatch cost); N=16 amortizes it to ~1.5 ms and the estimated
+    # not per-dispatch cost); N=32 amortizes it to ~0.8 ms and the estimated
     # RTT is reported alongside.
     checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
     chain_fn = chain.render_blocks
     renb = jax.jit(lambda b, o, eps: chain_fn(b + eps * o))
-    N = 16
+    N = 32
     eps = jnp.float32(1e-6)  # nonzero: every pass computes on genuinely new data
 
     # compile + warmup (render and checksum programs)

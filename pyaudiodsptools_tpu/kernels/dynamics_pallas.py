@@ -468,25 +468,56 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
         return jnp.pad(flat, ((0, 0), (0, Rp - R))).reshape(
             n_ops * SUBLANES, K)
 
-    def cond(carry):
-        _, done, it = carry
-        return jnp.logical_and(jnp.logical_not(done), it < G + 2)
-
-    def body(carry):
-        e, _, it = carry
-        z = state_call(fscal, iscal, xk, e)
+    def next_entries(e, z):
         el, zl = to_logical(e), to_logical(z)
         # segment 0 keeps its true entry (REST); others take the previous
         # segment's exit. Fixpoint == the serial state trajectory.
         en = jnp.concatenate([el[:, :, :1], zl[:, :, :-1]], axis=2)
-        done = jnp.all(en == el)
-        return from_logical(en), done, it + 1
+        return from_logical(en), jnp.all(en == el)
 
     e0 = jnp.zeros((n_ops * SUBLANES, K), jnp.int32)
-    e_fix, _, _ = jax.lax.while_loop(
-        cond, body, (e0, jnp.bool_(False), jnp.int32(0)))
-    # One full pass from the converged entries writes the audio.
-    out, _ = sweep_call(fscal, iscal, xk, e_fix)
+    import os
+
+    if os.environ.get("PADT_DYN_STATES_ONLY", "0") == "1":
+        # States-only loop + separate output pass: k+1 full automaton walks
+        # for k sweeps. Kept for A/B; the write-every-sweep loop below
+        # measured faster at the typical k=2 (BENCH_DYN_r04).
+        def cond(carry):
+            _, done, it = carry
+            return jnp.logical_and(jnp.logical_not(done), it < G + 2)
+
+        def body(carry):
+            e, _, it = carry
+            z = state_call(fscal, iscal, xk, e)
+            en, done = next_entries(e, z)
+            return en, done, it + 1
+
+        e_fix, _, _ = jax.lax.while_loop(
+            cond, body, (e0, jnp.bool_(False), jnp.int32(0)))
+        out, _ = sweep_call(fscal, iscal, xk, e_fix)
+    else:
+        # Write-every-sweep loop: the sweep that CONFIRMS convergence ran
+        # from the already-converged entries, so its audio output is the
+        # final answer — k walks total instead of k+1 (one full VPU walk
+        # and one signal read saved; the extra non-final writes cost the
+        # same bytes the dropped output pass would have read).
+        def cond(carry):
+            _, _, done, it = carry
+            return jnp.logical_and(jnp.logical_not(done), it < G + 2)
+
+        def body(carry):
+            e, _, _, it = carry
+            out, z = sweep_call(fscal, iscal, xk, e)
+            en, done = next_entries(e, z)
+            return en, out, done, it + 1
+
+        # first iteration peeled: the loop carry then starts from a real
+        # output buffer instead of a full-signal zeros fill (~one wasted
+        # HBM write per call at the flagship size)
+        out1, z1 = sweep_call(fscal, iscal, xk, e0)
+        e1, done1 = next_entries(e0, z1)
+        _, out, _, _ = jax.lax.while_loop(
+            cond, body, (e1, out1, done1, jnp.int32(1)))
 
     out = out.reshape(L, Rp)[:, :R].reshape(L, C, G)
     return jnp.moveaxis(out, 0, 2).reshape(C, Tp)[:, :T]
