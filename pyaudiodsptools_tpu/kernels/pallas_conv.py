@@ -633,7 +633,7 @@ def use_fused_dma(n: int, block_size: int) -> bool:
 
 def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
                          block_size: int, halo: int, seg: int, shift: int,
-                         pairs_per_step: int = 4, slack: int | None = None,
+                         pairs_per_step: int = 2, slack: int | None = None,
                          interpret: bool = False) -> jnp.ndarray:
     """Segmented overlap-save linear convolution with output delay, fully
     in-kernel: ``y[m] = conv(x, h)[m - shift]`` per channel.

@@ -46,7 +46,7 @@ def peaks_for(device_kind: str) -> Peaks:
 
 
 def conv_cost(C: int, T: int, block_size: int, halo: int, seg: int,
-              pairs_per_step: int = 4, tier: str | None = None) -> dict:
+              pairs_per_step: int = 2, tier: str | None = None) -> dict:
     """Model of kernels/pallas_conv.segmented_conv_fused.
 
     Per complex pair-window (2 real signals) the 4-step runs 6 complex
