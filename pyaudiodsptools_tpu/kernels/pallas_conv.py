@@ -620,15 +620,26 @@ def auto_pairs(n: int, requested: int = 4) -> int:
     return p
 
 
-def use_fused_dma(n: int, block_size: int) -> bool:
-    """Eligibility for the in-kernel-windowed path: MXU-worthy pow2 size and
-    window geometry expressible as whole (.., n2) rows."""
+def use_fused_dma(n: int, block_size: int, halo: int | None = None,
+                  seg: int | None = None) -> bool:
+    """Eligibility for the in-kernel-windowed path: MXU-worthy pow2 size,
+    window geometry expressible as whole (.., n2) rows, and (when halo/seg
+    are given) an 8-sublane-aligned wrap-free store slice — Mosaic rejects
+    sub-tile row slices (plan_segments aligns its own geometry; this guard
+    keeps direct callers with odd geometries on the XLA path instead of
+    failing to compile)."""
     from .matmul_fft import use_mxu_fft
 
     if not use_mxu_fft(n):
         return False
     n2 = _plan(n)[1]
-    return block_size % n2 == 0
+    if block_size % n2:
+        return False
+    if halo is not None and seg is not None:
+        q = block_size // n2
+        if (halo * q) % 8 or (seg * q) % 8:
+            return False
+    return True
 
 
 def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,

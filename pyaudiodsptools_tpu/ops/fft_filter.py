@@ -149,6 +149,25 @@ def plan_segments(kernel_len: int, block_size: int) -> tuple[int, int]:
 
         if use_mxu_fft(t * block_size):
             total = t
+            # Mosaic store alignment: the fused kernel's wrap-free store
+            # slices rows [halo*B/n2, n1) of each window, and both the start
+            # and the length must be 8-sublane multiples. With q = B/n2 rows
+            # per block, bump the halo (extra halo is always correct — it
+            # just covers more than the kernel) until halo*q and seg*q are
+            # multiples of 8. E.g. B=512, n=16384 (n2=128, q=4): (1, 31)
+            # would store 124-row slices (rejected by Mosaic — found by the
+            # first on-chip B=512 capture); (2, 30) stores 120 aligned rows.
+            from ..kernels.matmul_fft import _plan
+
+            n2 = _plan(total * block_size)[1]
+            if block_size % n2 == 0:
+                q = block_size // n2
+                h = halo
+                while h < total - 1 and ((h * q) % 8 or
+                                         ((total - h) * q) % 8):
+                    h += 1
+                if (h * q) % 8 == 0 and ((total - h) * q) % 8 == 0:
+                    halo = h
     return halo, total - halo
 
 
@@ -191,7 +210,7 @@ def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
         # (G+H)/G reads and one write of the signal, nothing else.
         from ..kernels.pallas_conv import segmented_conv_fused, use_fused_dma
 
-        if use_fused_dma((G + H) * B, B):
+        if use_fused_dma((G + H) * B, B, H, G):
             flat = x.reshape((-1, nb * B))
             y = segmented_conv_fused(flat, spectrum_seg, B, H, G, shift,
                                      slack=slack)

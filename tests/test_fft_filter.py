@@ -111,11 +111,12 @@ def _patched_plan(monkeypatch, backend, kernel_len, block_size):
     (4096, 2047, (1, 7)),
     # B=1024: window grows 8 -> 16 blocks to reach 16384 = 128*128
     (1024, 511, (1, 15)),
-    # B=512: window grows 8 -> 32 blocks (16384 samples)
-    (512, 255, (1, 31)),
-    # B=512, 5-block kernel: halo=5 forces total>=32 via the 4x floor, and
-    # 32*512 = 16384 is already MXU-eligible
-    (512, 5 * 512 + 1, (5, 27)),
+    # B=512: window grows 8 -> 32 blocks (16384 samples); halo bumps 1 -> 2
+    # so the fused kernel's store slice is 8-sublane aligned (q = B/n2 = 4)
+    (512, 255, (2, 30)),
+    # B=512, 5-block kernel: halo=5 forces total>=32 via the 4x floor
+    # (MXU-eligible), then aligns 5 -> 6
+    (512, 5 * 512 + 1, (6, 26)),
     # B=512, kernel just past one block -> halo=2, 4x floor keeps total=8,
     # growth 8 -> 32
     (512, 512 + 2, (2, 30)),

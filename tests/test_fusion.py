@@ -320,3 +320,13 @@ def test_segmented_conv_fused_insufficient_slack_falls_back():
     B, halo, klen, shift = 2048, 2, 4095, 1371  # slack = 2 < delta = 91
     assert halo * B - (klen - 1) < 1371 % 128
     _segmented_case(B, 2, 25, klen, shift, slack=halo * B - (klen - 1))
+
+
+def test_segmented_conv_fused_large_shift_falls_back():
+    """A shift so large that more than one window would start before the
+    signal (rho > win_rows) is outside the no-pad gather's head-fix reach:
+    the padded path must engage and stay correct."""
+    B, halo, seg = 2048, 2, 6
+    klen = 1000
+    shift = 7 * B  # rho ~ 7 blocks of rows > win_rows (6 blocks)
+    _segmented_case(B, 2, 25, klen, shift, slack=halo * B - (klen - 1))

@@ -185,3 +185,30 @@ def test_segmented_conv_radix2_on_chip(monkeypatch):
     ref = np.concatenate([np.zeros((2, 2047)), ref[:, : 13 * B - 2047]],
                          axis=1)
     assert snr_db(ref.astype(np.float32), got) > 95.0
+
+
+@pytest.mark.tpu_smoke
+def test_segmented_conv_small_block_grown_window_on_chip():
+    """B=512 with the grown 32-block window (n=16384, q = B/n2 = 4): the
+    first on-chip capture at this geometry found Mosaic rejecting the
+    (1, 31) plan's 124-row store slice — plan_segments now aligns to
+    (2, 30) and this case pins the small-block path's real lowering."""
+    from pyaudiodsptools_tpu.kernels.pallas_conv import (segmented_conv_fused,
+                                                         use_fused_dma)
+    from pyaudiodsptools_tpu.ops.fft_filter import (pack_spectrum,
+                                                    plan_segments)
+
+    B = 512
+    halo, seg = plan_segments(255, B)
+    assert (halo, seg) == (2, 30)
+    assert use_fused_dma((halo + seg) * B, B, halo, seg)
+    n = (halo + seg) * B
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((3, 90 * B)).astype(np.float32)
+    k = rng.standard_normal(255) * 0.1
+    spec = pack_spectrum(np.fft.rfft(np.concatenate([k, np.zeros(n - 255)])))
+    got = np.asarray(segmented_conv_fused(jnp.asarray(x), spec, B, halo, seg,
+                                          385, slack=halo * B - 254))
+    ref = np.stack([np.convolve(x[c], k)[: 90 * B] for c in range(3)])
+    ref = np.concatenate([np.zeros((3, 385)), ref[:, : 90 * B - 385]], axis=1)
+    assert snr_db(ref.astype(np.float32), got) > 95.0
