@@ -162,11 +162,18 @@ def plan_segments(kernel_len: int, block_size: int) -> tuple[int, int]:
             n2 = _plan(total * block_size)[1]
             if block_size % n2 == 0:
                 q = block_size // n2
+
+                def ok(h):
+                    # 8-sublane-aligned store slice, and enough halo slack
+                    # beyond the kernel that the no-pad gather's sub-row
+                    # spectral delay (< n2 samples) stays wrap-free
+                    return ((h * q) % 8 == 0 and ((total - h) * q) % 8 == 0
+                            and h * block_size - (kernel_len - 1) >= n2)
+
                 h = halo
-                while h < total - 1 and ((h * q) % 8 or
-                                         ((total - h) * q) % 8):
+                while h < total - 1 and not ok(h):
                     h += 1
-                if (h * q) % 8 == 0 and ((total - h) * q) % 8 == 0:
+                if ok(h):
                     halo = h
     return halo, total - halo
 
@@ -195,14 +202,21 @@ def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
     covering the kernel; far fewer FFT FLOPs and no 3x window
     materialization. Also serves long kernels (reverb tap trains, FIR-ized
     IIR responses) with proportionally larger windows.
+
+    ``block_size`` here is the PLANNING UNIT of the segmentation — it need
+    not equal the engine block size of ``blocks``'s last axis (fir() plans
+    big-block configs in 512-sample units so the halo hugs the kernel
+    instead of rounding up to a whole engine block).
     """
     B = block_size
     G = seg_blocks
     H = halo_blocks
     lead = blocks.shape[:-2]
-    nb = blocks.shape[-2]
-    n_seg = -(-nb // G)
-    x = blocks.reshape(lead + (nb * B,))
+    out_shape = blocks.shape
+    x = blocks.reshape(lead + (-1,))
+    T = x.shape[-1]
+    seg_len = G * B
+    n_seg = -(-T // seg_len)
 
     if jax.default_backend() == "tpu":
         # In-kernel-windowed Pallas path: the window gather, layout changes,
@@ -211,22 +225,22 @@ def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
         from ..kernels.pallas_conv import segmented_conv_fused, use_fused_dma
 
         if use_fused_dma((G + H) * B, B, H, G):
-            flat = x.reshape((-1, nb * B))
+            flat = x.reshape((-1, T))
             y = segmented_conv_fused(flat, spectrum_seg, B, H, G, shift,
                                      slack=slack)
-            return y.reshape(lead + (nb, B)).astype(jnp.float32)
+            return y.reshape(out_shape).astype(jnp.float32)
     # Left padding = halo + the output delay: gathering every window `shift`
     # samples earlier makes its wrap-free region land exactly on
     # y[m] = conv[m - shift], so no post-conv shift pass is needed.
     x = jnp.pad(x, [(0, 0)] * len(lead)
-                + [(H * B + shift, (n_seg * G - nb) * B)])
-    starts = [s * G * B for s in range(n_seg)]
+                + [(H * B + shift, n_seg * seg_len - T)])
+    starts = [s * seg_len for s in range(n_seg)]
     windows = jnp.stack(
         [x[..., st : st + (G + H) * B] for st in starts], axis=-2
     )  # (..., n_seg, (G+H)B)
     conv = batched_rfft_filter(windows, spectrum_seg, (G + H) * B)
-    y = conv[..., H * B :].reshape(lead + (n_seg * G * B,))[..., : nb * B]
-    return y.reshape(lead + (nb, B)).astype(jnp.float32)
+    y = conv[..., H * B :].reshape(lead + (n_seg * seg_len,))[..., :T]
+    return y.reshape(out_shape).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -237,17 +251,20 @@ def segmented_fft_conv(spectrum_seg: jnp.ndarray, blocks: jnp.ndarray,
 
 
 @pytree_dataclass(meta_fields=("block_size", "halo", "seg", "halo_stream",
-                               "lead", "slack"))
+                               "lead", "slack", "seg_unit"))
 class FIRParams:
     spectrum: jnp.ndarray      # (2, (halo_stream+1)B//2+1) — streaming window
-    spectrum_seg: jnp.ndarray  # (2, (halo+seg)B//2 + 1) — offline segments
-    block_size: int
-    halo: int                  # offline segment halo (covers stripped kernel)
-    seg: int                   # output blocks per offline FFT window
+    spectrum_seg: jnp.ndarray  # (2, (halo+seg)*seg_unit//2 + 1) — offline
+    block_size: int            # ENGINE block size (streaming window unit)
+    halo: int                  # offline segment halo, in seg_unit units
+    seg: int                   # output units per offline FFT window
     halo_stream: int           # streaming history blocks (pow2 window - 1)
     lead: int                  # stripped zero prefix, re-applied as delay
-    slack: int = 0             # halo*B - (stripped kernel len - 1): room for
-                               # the no-pad gather's sub-row spectral delay
+    slack: int = 0             # halo*seg_unit - (stripped kernel len - 1):
+                               # room for the no-pad sub-row spectral delay
+    seg_unit: int = 0          # offline planning unit (<= block_size); big
+                               # engine blocks plan at 512 so the halo hugs
+                               # the kernel (0 = block_size, legacy pytrees)
 
 
 def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
@@ -264,8 +281,14 @@ def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
     kernel = np.asarray(kernel, dtype=np.float64)
     nz = np.flatnonzero(kernel)
     lead = int(nz[0]) if nz.size else 0
+    # Offline segmentation plans in 512-sample units for big pow2 blocks:
+    # the halo then hugs the stripped kernel instead of rounding up to a
+    # whole engine block (B=4096 chain kernel ~6.1k: halo 14x512 = 7168 vs
+    # 2x4096 = 8192 — window overlap 64/50 = 1.28x instead of 8/6 = 1.33x).
+    # Streaming is untouched (engine-block windows).
+    u = 512 if (B > 512 and B % 512 == 0) else B
     spec_seg, halo, seg = pack_segmented_kernel(
-        kernel[lead:] if nz.size else kernel[:1], B)
+        kernel[lead:] if nz.size else kernel[:1], u)
     # Streaming keeps the FULL kernel (leading zeros included — streaming has
     # no cheap output-shift) in the MINIMAL window: per-step cost is
     # latency/bandwidth-bound, so the smallest wrap-free window wins
@@ -287,7 +310,8 @@ def fir(kernel: np.ndarray, block_size: int, name: str = "fir") -> Effect:
         spectrum_seg=spec_seg,
         block_size=B, halo=halo, seg=seg, halo_stream=halo_stream,
         lead=lead,
-        slack=halo * B - (klen_stripped - 1),
+        slack=halo * u - (klen_stripped - 1),
+        seg_unit=u,
     )
     return Effect(name=name, params=params, init_state=fir_init_state,
                   step=fir_step, offline=fir_offline,
@@ -327,7 +351,8 @@ def fir_step(params: FIRParams, state, block: jnp.ndarray):
 
 def fir_offline(params: FIRParams, blocks: jnp.ndarray) -> jnp.ndarray:
     return segmented_fft_conv(params.spectrum_seg, blocks, params.lead,
-                              params.block_size, params.halo, params.seg,
+                              params.seg_unit or params.block_size,
+                              params.halo, params.seg,
                               slack=params.slack)
 
 

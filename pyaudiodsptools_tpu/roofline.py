@@ -87,7 +87,7 @@ def conv_cost_from_params(C: int, T: int, p) -> dict | None:
     (FIRParams, EQ3Band FIR-ized, eq3band_fft...)."""
     halo = getattr(p, "halo", None) or getattr(p, "halo_blocks", None)
     seg = getattr(p, "seg", None) or getattr(p, "seg_blocks", None)
-    B = getattr(p, "block_size", None)
+    B = getattr(p, "seg_unit", None) or getattr(p, "block_size", None)
     if halo is None or seg is None or B is None:
         return None
     return conv_cost(C, T, B, halo, seg)

@@ -155,3 +155,39 @@ def test_plan_segments_non_pow2_block_stays_on_fft_path(monkeypatch):
     # a non-pow2 window can never hit the MXU tier: the planner must keep
     # the default 8-block window rather than growing it for nothing
     assert _patched_plan(monkeypatch, "tpu", 255, 500) == (1, 7)
+
+
+def test_fir_plans_offline_in_512_units(monkeypatch):
+    """Big pow2 engine blocks plan the OFFLINE segmentation in 512-sample
+    units so the halo hugs the stripped kernel (streaming stays on engine
+    blocks). Pinned on the accelerator branch: the B=4096 chain-like
+    cascade kernel (~6.1k samples) gets halo 14x512 = 7168 instead of
+    2x4096 = 8192 (window overlap 1.28x vs 1.33x)."""
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    from pyaudiodsptools_tpu.ops import fft_filter as ff
+
+    eff = ff.fir(np.concatenate([np.zeros(3073), np.random.default_rng(0)
+                                 .standard_normal(6143)]), 4096)
+    p = eff.params
+    assert p.seg_unit == 512
+    assert (p.halo, p.seg) == (14, 50)       # n = 64*512 = 32768
+    assert p.slack == 14 * 512 - 6142        # >= n2 for the no-pad gather
+    assert p.slack >= 128
+    # alignment for the fused kernel's store (q = 512/128 = 4)
+    assert (p.halo * 4) % 8 == 0 and (p.seg * 4) % 8 == 0
+    # engine-block streaming window unchanged
+    assert p.block_size == 4096
+
+
+def test_fir_single_lowcut_unit_geometry(monkeypatch):
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    from pyaudiodsptools_tpu import EngineConfig, ops
+
+    p = ops.lowcut(EngineConfig(44100, 4096), 800.0).params
+    # stripped kernel 2047: halo 4 units is aligned but leaves slack 2 <
+    # n2, so plan_segments bumps to 6 (next aligned value) -> n = 16384
+    assert p.seg_unit == 512 and (p.halo, p.seg) == (6, 26)
