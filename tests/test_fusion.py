@@ -330,3 +330,38 @@ def test_segmented_conv_fused_large_shift_falls_back():
     klen = 1000
     shift = 7 * B  # rho ~ 7 blocks of rows > win_rows (6 blocks)
     _segmented_case(B, 2, 25, klen, shift, slack=halo * B - (klen - 1))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_chain_fused_matches_unfused(seed):
+    """Property test over the fusion pass's composition space: a random
+    effect sequence rendered through Chain(fuse=True) must match the same
+    sequence with fusion disabled. On the CPU lane this sweeps LTI-run
+    grouping and its interleaving with unfusable ops (tail/dynamics fusion
+    is TPU-gated; their composition runs on chip via
+    test_tpu_lane.test_chain8_kernel_backed_on_chip)."""
+    from pyaudiodsptools_tpu import Chain, EngineConfig, ops
+
+    cfg = EngineConfig(44100, 512)
+    rng = np.random.default_rng(seed)
+    pool = [
+        lambda: ops.lowcut(cfg, float(rng.integers(80, 400))),
+        lambda: ops.highcut(cfg, float(rng.integers(4000, 12000))),
+        lambda: ops.delay(cfg, float(rng.integers(3, 12)), 2),
+        lambda: ops.tremolo(cfg, 0.3, float(rng.integers(2, 8))),
+        lambda: ops.softclipper(cfg, 0.4),
+        lambda: ops.saturator(cfg, -16.0, 1.5, "soft"),
+        lambda: ops.compressor(cfg, -18.0, 0.6, 3.1, 20.1),
+        lambda: ops.harddistortion(cfg),
+    ]
+    effects = [pool[i]() for i in rng.integers(0, len(pool),
+                                               size=rng.integers(3, 7))]
+    blocks = jnp.asarray((rng.standard_normal((2, 8, 512)) * 0.3
+                          ).astype(np.float32))
+    want = np.asarray(Chain(effects, fuse=False).render_blocks(blocks))
+    got = np.asarray(Chain(effects, fuse=True).render_blocks(blocks))
+    # fused LTI cascades change float rounding (one conv vs N); everything
+    # else in the CPU lane is either identical code or scan-exact
+    err = want - got
+    snr = 10 * np.log10(np.sum(want ** 2) / max(np.sum(err ** 2), 1e-30))
+    assert snr > 90.0, (snr, [e.name for e in effects])
