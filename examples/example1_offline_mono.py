@@ -5,6 +5,14 @@ per-chunk LowCut(800).apply loop, CombineChunks, write wav. Here the whole
 render is one jit-compiled program.
 """
 
+import os as _os
+import sys as _sys
+
+# allow standalone `python examples/<name>.py` without installing:
+# the repo root is the import path when run from a checkout
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 from pyaudiodsptools_tpu import Chain, EngineConfig, ops, render_file
 
 cfg = EngineConfig(sample_rate=44100, block_size=4096)

@@ -7,6 +7,14 @@ batch axis: the same chain renders (2, n) audio in one program.
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+# allow standalone `python examples/<name>.py` without installing:
+# the repo root is the import path when run from a checkout
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 from pyaudiodsptools_tpu import Chain, EngineConfig, ops, render
 from pyaudiodsptools_tpu.core import wavio
 

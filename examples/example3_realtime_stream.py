@@ -12,6 +12,14 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+# allow standalone `python examples/<name>.py` without installing:
+# the repo root is the import path when run from a checkout
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 from pyaudiodsptools_tpu import Chain, EngineConfig, ops
 from pyaudiodsptools_tpu.core import generators
 from pyaudiodsptools_tpu.runtime import (DuplexAudioStream, RealtimeEngine,
