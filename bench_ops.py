@@ -190,6 +190,20 @@ def _chain_stages(cfg, blocks, checksum, pk, eps):
     fn = jax.jit(lambda p, b, o, e: chain._jit_render(p, b + e * o))
     dt = _timed(fn, (chain.params, blocks, blocks, eps), checksum)
     rows["chain8_total"] = {"ms": round(dt * 1e3, 3)}
+
+    # README quick-start chain [lowcut, compressor, softclipper]: its LONE
+    # compressor is routed through the Pallas kernel by fuse_lti_runs
+    # (round 5); before that routing this chain silently fell to the
+    # ~23 Msamples/s lax.scan path (~500 ms/render at the flagship size).
+    from pyaudiodsptools_tpu import Chain, ops as _ops
+
+    qs = Chain([_ops.lowcut(cfg, 800.0), _ops.compressor(cfg, -18.0, 0.6),
+                _ops.softclipper(cfg, 0.44)])
+    fn = jax.jit(lambda p, b, o, e: qs._jit_render(p, b + e * o))
+    dt = _timed(fn, (qs.params, blocks, blocks, eps), checksum)
+    rows["chain_quickstart:lowcut+compressor+softclipper"] = {
+        "ms": round(dt * 1e3, 3),
+        "samples_per_s": round(C * T / dt, 1)}
     return rows
 
 

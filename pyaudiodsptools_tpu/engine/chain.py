@@ -99,8 +99,13 @@ def fuse_lti_runs(effects: tuple[Effect, ...]) -> tuple[Effect, ...]:
       response is the cascade's (ops/fft_filter.fuse_lti);
     * dynamics automatons (compressor/gate, params is DynamicsParams) ->
       one cascaded speculative kernel pass (kernels.dynamics_pallas
-      .fused_dynamics) — TPU backend only (the kernel is Pallas/Mosaic;
-      CPU and GPU keep the faithful scans separate);
+      .fused_dynamics) for runs of >= 2, and the kernel-backed wrapper
+      (kernels.dynamics_pallas.fast_effect) for a LONE compressor/gate —
+      TPU backend only (the kernel is Pallas/Mosaic; CPU and GPU keep the
+      faithful scans separate). Routing singles through the kernel matters:
+      the faithful lax.scan path measures ~23 Msamples/s on TPU vs
+      ~6.7 Gsamples/s for the kernel (BENCH_OPS.json), so an unwrapped
+      lone op would dominate any chain it appears in;
     * tail runs (delay without pre-filters / tremolo / stateless waveshapers)
       left over after the passes above -> one windowed elementwise kernel
       pass (kernels.tail_pallas.fused_tail) — TPU backend only.
@@ -126,10 +131,13 @@ def fuse_lti_runs(effects: tuple[Effect, ...]) -> tuple[Effect, ...]:
     def flush():
         if len(run) >= 2 and run_kind == "lti":
             out.append(fuse_lti(run))
-        elif len(run) >= 2 and run_kind == "dyn":
-            from ..kernels.dynamics_pallas import fused_dynamics
+        elif run_kind == "dyn" and run:
+            from ..kernels.dynamics_pallas import fast_effect, fused_dynamics
 
-            out.append(fused_dynamics(run))
+            if len(run) >= 2:
+                out.append(fused_dynamics(run))
+            else:
+                out.append(fast_effect(run[0]))
         else:
             out.extend(run)
         run.clear()

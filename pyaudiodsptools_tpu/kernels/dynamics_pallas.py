@@ -523,7 +523,7 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
     return jnp.moveaxis(out, 0, 2).reshape(C, Tp)[:, :T]
 
 
-def _fast_effect(base: Effect, interpret: bool = False) -> Effect:
+def fast_effect(base: Effect, interpret: bool = False) -> Effect:
     """Wrap a faithful dynamics Effect with kernel-backed offline/step paths.
 
     Works on (C, T)-shaped batches (1-D channel axis) and plain (T,) mono.
@@ -561,13 +561,13 @@ def _fast_effect(base: Effect, interpret: bool = False) -> Effect:
 def fast_compressor(cfg, *args, interpret: bool = False, **kwargs) -> Effect:
     from ..ops.dynamics import compressor
 
-    return _fast_effect(compressor(cfg, *args, **kwargs), interpret=interpret)
+    return fast_effect(compressor(cfg, *args, **kwargs), interpret=interpret)
 
 
 def fast_gate(cfg, *args, interpret: bool = False, **kwargs) -> Effect:
     from ..ops.dynamics import gate
 
-    return _fast_effect(gate(cfg, *args, **kwargs), interpret=interpret)
+    return fast_effect(gate(cfg, *args, **kwargs), interpret=interpret)
 
 
 def fused_dynamics(effects, interpret: bool = False) -> Effect:

@@ -365,3 +365,67 @@ def test_random_chain_fused_matches_unfused(seed):
     err = want - got
     snr = 10 * np.log10(np.sum(want ** 2) / max(np.sum(err ** 2), 1e-30))
     assert snr > 90.0, (snr, [e.name for e in effects])
+
+
+# --- lone dynamics routing (round-5: the README quick-start chain) --------
+
+def _quickstart(cfg, dyn):
+    return [ops.lowcut(cfg, 800.0), dyn, ops.softclipper(cfg, 0.44)]
+
+
+@pytest.mark.parametrize("factory", [
+    lambda cfg: ops.compressor(cfg, -18.0, 0.6),
+    lambda cfg: ops.gate(cfg, -40.0),
+])
+def test_lone_dynamics_routes_through_kernel_on_tpu(monkeypatch, factory):
+    """On the TPU backend a LONE compressor/gate (dynamics run of 1) must be
+    wrapped with the kernel-backed ``fast_effect`` — the faithful lax.scan
+    offline path measures ~23 Msamples/s on chip vs ~6.7 Gsamples/s for the
+    speculative kernel (BENCH_OPS.json), so an unwrapped single would
+    dominate any chain it appears in (the README quick-start chain is
+    exactly this shape)."""
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    cfg = EngineConfig(44100, 4096)
+    chain = Chain(_quickstart(cfg, factory(cfg)))
+    names = [e.name for e in chain.exec_effects]
+    assert len(names) == 3, names
+    assert names[1].endswith("_pallas"), names
+
+
+def test_lone_dynamics_stays_faithful_on_cpu():
+    """Off-TPU the scan path stays (the Pallas kernel is Mosaic-only)."""
+    cfg = EngineConfig(44100, 4096)
+    chain = Chain(_quickstart(cfg, ops.compressor(cfg, -18.0, 0.6)))
+    assert [e.name for e in chain.exec_effects][1] == "compressor"
+
+
+def test_lone_dynamics_wrapper_chain_matches_scan_chain():
+    """Interpret-mode render of the quick-start chain with the compressor
+    wrapped exactly as fuse_lti_runs wraps it on TPU, vs the faithful scan
+    chain — pins the wrapped structure's numerics on the CPU lane."""
+    from pyaudiodsptools_tpu.kernels.dynamics_pallas import fast_effect
+
+    cfg = EngineConfig(44100, 512)
+    comp = ops.compressor(cfg, -18.0, 0.6)
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((2, 24 * 512)) * 0.05).astype(np.float32)
+    for s in range(0, x.shape[1], 3000):
+        w = min(700, x.shape[1] - s)
+        x[:, s:s + w] += (rng.standard_normal((2, w)) * 0.7).astype(np.float32)
+    blocks = jnp.asarray(np.clip(x, -0.99, 0.99).reshape(2, 24, 512))
+
+    fast = Chain(_quickstart(cfg, fast_effect(comp, interpret=True)),
+                 fuse=False)
+    plain = Chain(_quickstart(cfg, comp), fuse=False)
+    got = np.asarray(fast.render_blocks(blocks))
+    want = np.asarray(plain.render_blocks(blocks))
+    assert snr_db(want, got) > 100.0
+
+    # streaming path of the wrapper (serial Pallas kernel), same structure
+    sf, sp = fast.init_state((2,)), plain.init_state((2,))
+    for i in range(6):
+        sf, bf = fast.step(sf, blocks[:, i])
+        sp, bp = plain.step(sp, blocks[:, i])
+        assert snr_db(np.asarray(bp), np.asarray(bf)) > 100.0

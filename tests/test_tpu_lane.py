@@ -212,3 +212,28 @@ def test_segmented_conv_small_block_grown_window_on_chip():
     ref = np.stack([np.convolve(x[c], k)[: 90 * B] for c in range(3)])
     ref = np.concatenate([np.zeros((3, 385)), ref[:, : 90 * B - 385]], axis=1)
     assert snr_db(ref.astype(np.float32), got) > 95.0
+
+
+@pytest.mark.tpu_smoke
+def test_quickstart_chain_lone_dynamics_on_chip():
+    """The README quick-start chain [lowcut, compressor, softclipper]: the
+    LONE compressor must render via the Pallas kernel (fuse_lti_runs round-5
+    routing), real Mosaic lowering, vs the faithful scan chain."""
+    from pyaudiodsptools_tpu import Chain, EngineConfig, ops
+    from pyaudiodsptools_tpu.core import block as blk
+
+    cfg = EngineConfig(sample_rate=44100, block_size=4096)
+
+    def effects():
+        return [ops.lowcut(cfg, 800.0), ops.compressor(cfg, -18.0, 0.6),
+                ops.softclipper(cfg, 0.44)]
+
+    fast = Chain(effects())
+    assert [e.name for e in fast.exec_effects][1] == "compressor_pallas"
+    slow = Chain(effects(), fuse=False)
+
+    sig = _burst(2, 4096 * 12, seed=21)
+    blocks = blk.make_blocks(jnp.asarray(sig), cfg.block_size)
+    got = np.asarray(blk.combine_blocks(fast.render_blocks(blocks)))
+    want = np.asarray(blk.combine_blocks(slow.render_blocks(blocks)))
+    assert snr_db(want, got) > 90.0
