@@ -5,6 +5,15 @@ and config 4 (8-effect serial chain, 64 parallel channels). Baseline to beat:
 the reference's measured single-core chain throughput, 0.28 Msamples/s
 (BASELINE.md, measured by running the reference's own harness configs).
 
+One driver run measures BOTH block sizes:
+  * B=4096 — the BASELINE config-4 geometry. This is the HEADLINE value so
+    `vs_baseline` stays apples-to-apples with the reference measurement.
+  * B=512 — the reference's realtime chunk size, and the fastest measured
+    config since round 4 (the grown-window MXU conv path hugs the kernel
+    tighter at small blocks; BENCH_BLOCKS_r04.json). Reported alongside in
+    `detail.by_block_size` so the best-known configuration is always in the
+    committed artifact, per VERDICT r4 #3.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
 """
@@ -19,24 +28,20 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_S = 0.28e6  # reference 8-effect chain, 1 CPU core
 SAMPLE_RATE = 44100
-BLOCK_SIZE = 4096
+HEADLINE_BLOCK = 4096            # BASELINE config 4 geometry
+BLOCK_SIZES = (4096, 512)
 CHANNELS = 64
 SECONDS = 30.0
+N_PASSES = 32
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    import os
-    if os.environ.get("PADT_BENCH_PLATFORM"):
-        # env JAX_PLATFORMS alone cannot switch: sitecustomize pre-imports jax
-        jax.config.update("jax_platforms", os.environ["PADT_BENCH_PLATFORM"])
-
+def _measure(jax, jnp, block_size: int):
+    """Render SECONDS of generated audio through the flagship chain at one
+    block size; returns (samples_per_s, wall_s_per_pass, sync_rtt_s)."""
     from pyaudiodsptools_tpu import EngineConfig
     from __graft_entry__ import _chain8
 
-    cfg = EngineConfig(sample_rate=SAMPLE_RATE, block_size=BLOCK_SIZE)
+    cfg = EngineConfig(sample_rate=SAMPLE_RATE, block_size=block_size)
     # Pallas dynamics kernels on TPU; faithful scans elsewhere (the kernels
     # are parity-verified >100 dB against the scans in tests/test_kernels.py)
     chain = _chain8(cfg, fast_dynamics=jax.default_backend() != "cpu")
@@ -46,37 +51,36 @@ def main() -> None:
     # MB host->device. Band-limited-ish noise with bursts exercises every
     # automaton mode of the dynamics ops.
     n = int(SECONDS * SAMPLE_RATE)
-    nb = -(-n // BLOCK_SIZE)
+    nb = -(-n // block_size)
 
     @jax.jit
     def gen(key):
-        noise = 0.25 * jax.random.normal(key, (CHANNELS, nb * BLOCK_SIZE),
+        noise = 0.25 * jax.random.normal(key, (CHANNELS, nb * block_size),
                                          dtype=jnp.float32)
-        t = jnp.arange(nb * BLOCK_SIZE, dtype=jnp.float32)
+        t = jnp.arange(nb * block_size, dtype=jnp.float32)
         burst = (jnp.sin(2 * jnp.pi * t / (SAMPLE_RATE // 3)) > 0.6).astype(
             jnp.float32) * 0.5 + 0.3
         sig = jnp.clip(noise * burst, -0.99, 0.99)
-        return sig.reshape(CHANNELS, nb, BLOCK_SIZE)
+        return sig.reshape(CHANNELS, nb, block_size)
 
     blocks = gen(jax.random.key(0))
     blocks.block_until_ready()
-    total_samples = CHANNELS * nb * BLOCK_SIZE
+    total_samples = CHANNELS * nb * block_size
 
     # Timing discipline for the tunneled TPU backend: block_until_ready can
     # return before execution completes there, so the only honest clock stop
     # is a host readback that DEPENDS on the result. Each timed run renders
     # N chained passes (pass i+1's input depends on pass i's output, so they
     # cannot overlap) and fetches a checksum scalar inside the timed region.
-    # The readback costs a FIXED ~20-25 ms tunnel round-trip (measured:
+    # The readback costs a FIXED ~25-36 ms tunnel round-trip (measured:
     # N=1 -> 28.5 ms/pass, N=16 -> 3.8 ms/pass for a trivial op, identical
     # for host-side and in-graph fori_loop chaining — so it is sync latency,
-    # not per-dispatch cost); N=32 amortizes it to ~0.8 ms and the estimated
+    # not per-dispatch cost); N=32 amortizes it to ~1 ms and the estimated
     # RTT is reported alongside.
     checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
     chain_fn = chain.render_blocks
     renb = jax.jit(lambda b, o, eps: chain_fn(b + eps * o))
-    N = 32
-    eps = jnp.float32(1e-6)  # nonzero: every pass computes on genuinely new data
+    eps = jnp.float32(1e-6)  # nonzero: every pass computes on new data
 
     # compile + warmup (render and checksum programs)
     out = renb(blocks, blocks, eps)
@@ -97,27 +101,49 @@ def main() -> None:
     for _ in range(3):
         t0 = time.perf_counter()
         o = out
-        for _ in range(N):
+        for _ in range(N_PASSES):
             o = renb(blocks, o, eps)
         assert np.isfinite(float(checksum(o)))
-        runs.append((time.perf_counter() - t0) / N)
+        runs.append((time.perf_counter() - t0) / N_PASSES)
     dt = min(runs)
+    return total_samples / dt, dt, rtt
 
-    samples_per_s = total_samples / dt
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import os
+    if os.environ.get("PADT_BENCH_PLATFORM"):
+        # env JAX_PLATFORMS alone cannot switch: sitecustomize pre-imports jax
+        jax.config.update("jax_platforms", os.environ["PADT_BENCH_PLATFORM"])
+
+    by_block = {}
+    for bs in BLOCK_SIZES:
+        sps, dt, rtt = _measure(jax, jnp, bs)
+        by_block[bs] = {"samples_per_s": round(sps, 1),
+                        "wall_s": round(dt, 4),
+                        "sync_rtt_ms": round(rtt * 1e3, 2)}
+
+    head = by_block[HEADLINE_BLOCK]
+    samples_per_s = head["samples_per_s"]
     result = {
         "metric": "8-effect chain throughput, 64 channels, 1 chip",
-        "value": round(samples_per_s, 1),
+        "value": samples_per_s,
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 2),
         "detail": {
             "device": str(jax.devices()[0]),
             "seconds_of_audio": SECONDS,
             "channels": CHANNELS,
-            "block_size": BLOCK_SIZE,
-            "wall_s": round(dt, 4),
-            "passes_per_timed_region": N,
-            "sync_rtt_ms": round(rtt * 1e3, 2),
+            "block_size": HEADLINE_BLOCK,
+            "wall_s": head["wall_s"],
+            "passes_per_timed_region": N_PASSES,
+            "sync_rtt_ms": head["sync_rtt_ms"],
             "realtime_factor_per_chip": round(samples_per_s / SAMPLE_RATE, 1),
+            "by_block_size": {str(k): v for k, v in by_block.items()},
+            "best_block_size": max(by_block,
+                                   key=lambda k: by_block[k]["samples_per_s"]),
         },
     }
     print(json.dumps(result))
