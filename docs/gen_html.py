@@ -25,6 +25,7 @@ OUT = os.path.join(DOCS, "_build", "html")
 
 PAGES = [
     ("architecture.md", "Architecture"),
+    ("scaling.md", "Predicted multi-chip scaling"),
     ("migration.md", "Migration from pyAudioDspTools"),
     ("roofline.md", "Roofline accounting"),
     ("api.md", "API reference"),

@@ -65,6 +65,35 @@ def _stepper():
     return dyn.step
 
 
+_compiled_multidevice_warned = False
+
+
+def _warn_first_compiled_multidevice(mesh) -> None:
+    """Loud, once-per-process fence (VERDICT r4 #7): the COMPILED (non-
+    interpret) Pallas stepper inside shard_map inside while_loop has never
+    executed on a real multi-device TPU mesh — CI covers the composition in
+    interpret mode on a virtual mesh only, and this environment has one
+    chip. When a pod exists, run ``python bench_pod.py
+    --compiled-dynspec-probe`` (a tiny isolated render of exactly this
+    branch) before relying on it in a long job."""
+    global _compiled_multidevice_warned
+    import os
+
+    interpret = os.environ.get("PADT_DYNSPEC_INTERPRET", "0") == "1"
+    if (not _compiled_multidevice_warned and not interpret
+            and jax.default_backend() == "tpu"
+            and mesh.shape.get("time", 1) > 1):
+        import warnings
+
+        warnings.warn(
+            "dynspec: first compiled Pallas-stepper execution on a "
+            "multi-device 'time' mesh in this process — this Mosaic "
+            "composition is CI-validated in interpret mode only; probe it "
+            "with `python bench_pod.py --compiled-dynspec-probe` first "
+            "(see parallel/dynspec.py).", stacklevel=3)
+        _compiled_multidevice_warned = True
+
+
 def _local_sweep(step, params_list, entries, x):
     """Scan the local segment from the given entry states: returns (exit
     states, output). Op j+1 consumes op j's output (cascade order)."""
@@ -85,6 +114,7 @@ def dynamics_offline_time_sharded(params, blocks: jnp.ndarray,
     """
     n_time = mesh.shape["time"]
     step = _stepper()
+    _warn_first_compiled_multidevice(mesh)
 
     def local(params, b):
         params_list = _as_list(params)
