@@ -1,17 +1,17 @@
 """Dependency-free static HTML build of the docs site.
 
 The reference publishes a built docs site (reference docs/conf.py,
-README.md:7 readthedocs). This environment has no Sphinx and package
-installs are not available, so ``make html`` cannot run here; this
-generator is the executable equivalent: it renders every docs/*.md page
-(api.md, architecture.md, migration.md, roofline.md) plus an index into
-``docs/_build/html/`` using only the stdlib — headings, code fences,
-inline code, tables, lists, links, emphasis. The Sphinx scaffold
-(conf.py/index.rst/Makefile) remains the build of record wherever sphinx
-IS installed; tests/test_docs.py checks this generator produces a
-well-formed site.
+README.md:7 readthedocs). This generator is the framework's counterpart
+and the BUILD OF RECORD (PARITY.md #31): it renders every docs/*.md page
+(api.md, architecture.md, migration.md, roofline.md, scaling.md) plus an
+index into ``docs/_build/html/`` using only the stdlib — headings, code
+fences, inline code, tables, lists, links, emphasis. A Sphinx scaffold was
+committed in rounds 2-4 but could never execute (no sphinx in the
+environment, installs disallowed); round 5 dropped it rather than ship a
+build system that had never built. tests/test_docs.py executes this
+generator and checks the site is well-formed.
 
-Usage: python docs/gen_html.py  (or ``make -C docs htmlfallback``)
+Usage: python docs/gen_html.py  (or ``make -C docs html``)
 """
 
 from __future__ import annotations

@@ -2,9 +2,9 @@
 
 Regenerates the API reference from the live package and asserts the
 committed docs/api.md matches — any signature/docstring drift fails CI until
-``make -C docs api`` is rerun. Also sanity-checks the Sphinx scaffold so the
-``make -C docs html`` path (for sphinx-equipped machines) stays coherent
-with the package layout."""
+``make -C docs api`` is rerun. Also checks package coverage of the docs
+pipeline (gen_api.py + gen_html.py — the Sphinx scaffold was dropped in
+round 5, PARITY.md #31) and locks README perf figures to artifacts."""
 
 import re
 import subprocess
@@ -26,25 +26,38 @@ def test_api_md_is_fresh(tmp_path):
         "docs/api.md is stale — run `make -C docs api` and commit the result")
 
 
-def test_sphinx_index_covers_package():
-    """Every automodule target in index.rst must import, and every module
-    documented by gen_api.py must appear in index.rst (the two pipelines
-    stay in sync)."""
+def test_gen_api_covers_package():
+    """Every module gen_api.py documents must import, and every package
+    module with public API must be documented (the docs pipeline is
+    gen_api.py + gen_html.py; the never-executed Sphinx scaffold was
+    dropped in round 5 — see PARITY.md #31)."""
     import importlib
+    import pkgutil
 
-    index = (DOCS / "index.rst").read_text()
-    targets = re.findall(r"^\.\. automodule:: (\S+)", index, re.M)
-    assert targets, "no automodule directives found"
-    for t in targets:
-        importlib.import_module(t)
+    import pyaudiodsptools_tpu as pkg
 
     sys.path.insert(0, str(DOCS))
     try:
         import gen_api
     finally:
         sys.path.pop(0)
-    for modname, _ in gen_api.MODULES:
-        assert modname in index, f"{modname} missing from docs/index.rst"
+    documented = {m for m, _ in gen_api.MODULES}
+    for modname in documented:
+        importlib.import_module(modname)
+    missing = []
+    for mod in pkgutil.walk_packages(pkg.__path__, "pyaudiodsptools_tpu."):
+        name = mod.name
+        if name.endswith("__main__") or ".native" in name:
+            continue
+        # covered if the module, a parent package, or (for packages) any
+        # child module is documented
+        parts = name.split(".")
+        covered = (any(".".join(parts[:i]) in documented
+                       for i in range(2, len(parts) + 1))
+                   or any(d.startswith(name + ".") for d in documented))
+        if not covered:
+            missing.append(name)
+    assert not missing, f"undocumented modules: {missing}"
 
 
 def test_html_fallback_builds():
