@@ -77,6 +77,58 @@ def main() -> None:
                 "samples_per_s": round(total_samples / dt, 1),
                 "wall_s": round(dt, 4)}
 
+    if "--tail" in sys.argv:
+        # Round-5 A/B: the softclipper pow inside the fused tail
+        # (PADT_TAIL_FAST_POW: generic jnp pow vs ws._pow01_fast) on the
+        # STANDALONE tail stage at the flagship size, plus the full chain
+        # under each. SNR of fast vs generic is reported so the win is
+        # traceable next to its accuracy cost (also pinned >100 dB vs the
+        # reference in tests/test_ops_parity.py).
+        from pyaudiodsptools_tpu import ops
+        from pyaudiodsptools_tpu.kernels.tail_pallas import fused_tail
+
+        tail_effs = [ops.delay(cfg, 150.0, 2), ops.tremolo(cfg, 0.3, 5.0),
+                     ops.softclipper(cfg, 0.44)]
+        res = {}
+        outs = {}
+        for mode in ("0", "1"):
+            os.environ["PADT_TAIL_FAST_POW"] = mode
+            tail = fused_tail(tail_effs)
+            fn = jax.jit(lambda b, o, e, _t=tail: _t.offline(
+                _t.params, b + e * o))
+            out = fn(blocks, blocks, eps)
+            out.block_until_ready()
+            outs[mode] = np.asarray(out[:, :4, :])  # 4 MB probe slice
+            tiny = jax.jit(lambda o: jnp.max(jnp.abs(o[..., :1, :8])))
+            float(tiny(out))
+            rtt = min((lambda t0: (float(tiny(out)),
+                                   time.perf_counter() - t0)[1])(
+                time.perf_counter()) for _ in range(5))
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                o = out
+                for _ in range(8):
+                    o = fn(blocks, o, eps)
+                assert np.isfinite(float(checksum(o)))
+                el = time.perf_counter() - t0
+                runs.append(max(el - rtt, el / 2) / 8)
+            res[f"tail_standalone_fast{mode}_ms"] = round(min(runs) * 1e3, 3)
+            cell = time_config("1", "high")
+            res[f"chain_fast{mode}_samples_per_s"] = cell["samples_per_s"]
+        err = outs["0"] - outs["1"]
+        p = float(np.sum(outs["0"].astype(np.float64) ** 2))
+        snr = 10 * np.log10(p / max(float(np.sum(err.astype(
+            np.float64) ** 2)), 1e-30))
+        res["fast_vs_generic_snr_db"] = round(snr, 1)
+        print(json.dumps({
+            "metric": "tail fast-pow A/B, 64 channels, 1 chip",
+            "device": str(jax.devices()[0]),
+            "channels": CHANNELS, "block_size": BLOCK_SIZE,
+            "seconds": SECONDS, **res,
+        }))
+        return
+
     cells = []
     for radix2 in ("0", "1"):
         for tier in ("high", "fast", "highest"):

@@ -320,8 +320,8 @@ def _read_scalars(n_ops, fscal_ref, iscal_ref):
     return scalars
 
 
-def _spec_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref, out_ref,
-                 z_ref, s_scr):
+def _spec_kernel(t_tile, n_ops, unroll, fscal_ref, iscal_ref, x_ref,
+                 e_ref, out_ref, z_ref, s_scr):
     """Speculative sweep over one time tile, running a CASCADE of n_ops
     automatons per sample (op j+1 consumes op j's output — a fused
     compressor->gate chain costs one HBM pass). State rows for op j live at
@@ -332,24 +332,31 @@ def _spec_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref, out_ref,
     def _init():
         s_scr[:] = e_ref[:]
 
+    # Manual unroll: Mosaic's fori_loop only lowers unroll=1 or full, so
+    # the body processes `unroll` consecutive samples per iteration —
+    # amortizing loop/slice-index overhead along the serial walk. The
+    # factor is clamped host-side to divide t_tile. A/B'd on chip
+    # (bench_dyn.py, PADT_DYN_UNROLL).
     def body(i, _):
-        row = x_ref[pl.ds(i * SUBLANES, SUBLANES), :]  # one sample, (8, K)
-        for j in range(n_ops):
-            s = s_scr[pl.ds(j * SUBLANES, SUBLANES), :]
-            row, n = _int_automaton(scalars[j], s, row)
-            s_scr[pl.ds(j * SUBLANES, SUBLANES), :] = n
-        out_ref[pl.ds(i * SUBLANES, SUBLANES), :] = row
+        for k in range(unroll):  # static
+            idx = i * unroll + k
+            row = x_ref[pl.ds(idx * SUBLANES, SUBLANES), :]  # one sample
+            for j in range(n_ops):
+                s = s_scr[pl.ds(j * SUBLANES, SUBLANES), :]
+                row, n = _int_automaton(scalars[j], s, row)
+                s_scr[pl.ds(j * SUBLANES, SUBLANES), :] = n
+            out_ref[pl.ds(idx * SUBLANES, SUBLANES), :] = row
         return 0
 
-    jax.lax.fori_loop(0, t_tile, body, 0)
+    jax.lax.fori_loop(0, t_tile // unroll, body, 0)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _fin():
         z_ref[:] = s_scr[:]
 
 
-def _spec_state_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref,
-                       z_ref, s_scr):
+def _spec_state_kernel(t_tile, n_ops, unroll, fscal_ref, iscal_ref,
+                       x_ref, e_ref, z_ref, s_scr):
     """States-only speculative sweep: identical automaton walk but the ONLY
     output is the exit-state tensor — no per-sample HBM writes, and the last
     cascade stage skips its (unused) gain application. The fixpoint loop
@@ -361,17 +368,19 @@ def _spec_state_kernel(t_tile, n_ops, fscal_ref, iscal_ref, x_ref, e_ref,
         s_scr[:] = e_ref[:]
 
     def body(i, _):
-        row = x_ref[pl.ds(i * SUBLANES, SUBLANES), :]
-        for j in range(n_ops):
-            s = s_scr[pl.ds(j * SUBLANES, SUBLANES), :]
-            if j + 1 < n_ops:
-                row, n = _int_automaton(scalars[j], s, row)
-            else:
-                n = _int_automaton_state(scalars[j], s, row)
-            s_scr[pl.ds(j * SUBLANES, SUBLANES), :] = n
+        for k in range(unroll):  # static (see _spec_kernel's unroll note)
+            idx = i * unroll + k
+            row = x_ref[pl.ds(idx * SUBLANES, SUBLANES), :]
+            for j in range(n_ops):
+                s = s_scr[pl.ds(j * SUBLANES, SUBLANES), :]
+                if j + 1 < n_ops:
+                    row, n = _int_automaton(scalars[j], s, row)
+                else:
+                    n = _int_automaton_state(scalars[j], s, row)
+                s_scr[pl.ds(j * SUBLANES, SUBLANES), :] = n
         return 0
 
-    jax.lax.fori_loop(0, t_tile, body, 0)
+    jax.lax.fori_loop(0, t_tile // unroll, body, 0)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _fin():
@@ -401,30 +410,64 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
         # until VMEM tiling and sweep-count effects win) but keep segments
         # long enough (>= ~2048 samples) that sync windows are likely.
         segments = max(1, min(8192 // max(C, 1), T // 2048))
+    import os
+
     if t_tile is None:
+        t_tile = int(os.environ.get("PADT_DYN_TTILE", "0"))
+    if not t_tile:
         # In+out time tiles are double-buffered in VMEM; keep
-        # 2 * 2 * (t_tile * 8 * K * 4B) within ~8 MB of the 16 MB budget.
+        # 2 * 2 * (t_tile * 8 * K * 4B) within ~8 MB. Larger tiles were
+        # A/B'd on chip and LOSE (BENCH_DYN_r05 t_tile sweep: 64 -> 11.7,
+        # 128 -> 11.5, 256 -> 17.3 ms): the sweep is VPU-throughput-bound
+        # (~50 element-ops x k sweeps over the whole signal), so tile size
+        # only moves overheads, and 256 spills the pipelined live set.
         k_est = (-(-C * segments // (SUBLANES * LANES)) * LANES)
         t_tile = max(8, min(256, (2 * 1024 * 1024) // (SUBLANES * 4 * k_est)))
     # Segment length must be a t_tile multiple: time-padding is only legal at
     # the very end of the signal (zeros inside the timeline would corrupt the
-    # state handoff between segments).
-    L = -(-max(t_tile, -(-T // segments)) // t_tile) * t_tile
+    # state handoff between segments). When the channel count is eligible
+    # for the single-pass relayout kernels, L is additionally rounded to a
+    # 128-multiple (their DMA windows need 128-lane-aligned starts;
+    # kernels/relayout.py) — a few extra padded samples per segment.
+    import math
+
+    unit = t_tile
+    if C % SUBLANES == 0 and LANES % C == 0:
+        unit = t_tile * LANES // math.gcd(t_tile, LANES)
+    L = -(-max(unit, -(-T // segments)) // unit) * unit
     G = -(-T // L)
     Tp = G * L
     R = C * G
     Rp = -(-R // (SUBLANES * LANES)) * (SUBLANES * LANES)
     K = Rp // SUBLANES
 
-    xp = jnp.pad(x, ((0, 0), (0, Tp - T)))
-    # (C, G, L) -> time-major (L, R), r = c*G + g; each sample's Rp lanes
-    # occupy 8 contiguous sublane rows of a (L*8, K) array.
-    xk = jnp.moveaxis(xp.reshape(C, G, L), 2, 0).reshape(L, R)
-    xk = jnp.pad(xk, ((0, 0), (0, Rp - R))).reshape(L * SUBLANES, K)
+    # (C, G, L) -> time-major (L, R), r = g*C + c (SEGMENT-major: segment
+    # g's channels are CONTIGUOUS lanes, which makes each (segment, time
+    # window) a contiguous DMA rectangle of the (L, 8, K) view — the
+    # property the Pallas relayout kernels below need); each sample's Rp
+    # lanes occupy 8 contiguous sublane rows of a (L*8, K) array.
+    from .relayout import time_major_pack, time_major_unpack, use_relayout
+
+    if use_relayout(C, T, G, L, K, R, Rp, interpret):
+        # single-pass in-kernel relayout: 1 HBM read + 1 write + in-VMEM
+        # transposes, vs ~3 XLA materializations (measured 4.9 ms vs the
+        # kernel's ~2 ms at the flagship size — BENCH_DYN_r05 parts)
+        xk = time_major_pack(x, G, L, K, interpret=interpret)
+    else:
+        xp = jnp.pad(x, ((0, 0), (0, Tp - T)))
+        xk = jax.lax.reshape(xp.reshape(C, G, L), (L, R),
+                             dimensions=(2, 1, 0))
+        xk = jnp.pad(xk, ((0, 0), (0, Rp - R))).reshape(L * SUBLANES, K)
 
     fscal = jnp.concatenate([_pack_fscal(p) for p in params_list], axis=0)
     iscal = jnp.array([[p.x_max, p.x_max + p.y_max] for p in params_list],
                       dtype=jnp.int32)
+
+    # Walk unroll factor (trace-time): amortizes fori_loop/slice-index
+    # overhead along the serial sample walk. A/B'd on chip (bench_dyn.py).
+    unroll = int(os.environ.get("PADT_DYN_UNROLL", "1"))
+    while unroll > 1 and t_tile % unroll:
+        unroll //= 2
 
     state_spec = pl.BlockSpec((n_ops * SUBLANES, K), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -435,7 +478,7 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
     x_spec = pl.BlockSpec((t_tile * SUBLANES, K), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     sweep_call = pl.pallas_call(
-        partial(_spec_kernel, t_tile, n_ops),
+        partial(_spec_kernel, t_tile, n_ops, unroll),
         grid=(L // t_tile,),
         in_specs=smem_specs + [x_spec, state_spec],
         out_specs=[x_spec, state_spec],
@@ -444,24 +487,28 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
             jax.ShapeDtypeStruct((n_ops * SUBLANES, K), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((n_ops * SUBLANES, K), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
     # States-only sweep for the fixpoint loop: reads the signal, writes ONLY
     # the (n_ops*8, K) exit-state tensor — no audio writes until the final
     # output pass.
     state_call = pl.pallas_call(
-        partial(_spec_state_kernel, t_tile, n_ops),
+        partial(_spec_state_kernel, t_tile, n_ops, unroll),
         grid=(L // t_tile,),
         in_specs=smem_specs + [x_spec, state_spec],
         out_specs=state_spec,
         out_shape=jax.ShapeDtypeStruct((n_ops * SUBLANES, K), jnp.int32),
         scratch_shapes=[pltpu.VMEM((n_ops * SUBLANES, K), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
     def to_logical(e):
-        # (n_ops*8, K) -> (n_ops, C, G)
-        return e.reshape(n_ops, Rp)[:, :R].reshape(n_ops, C, G)
+        # (n_ops*8, K) -> (n_ops, G, C)  [r = g*C + c, segment-major]
+        return e.reshape(n_ops, Rp)[:, :R].reshape(n_ops, G, C)
 
     def from_logical(el):
         flat = el.reshape(n_ops, R)
@@ -472,27 +519,56 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
         el, zl = to_logical(e), to_logical(z)
         # segment 0 keeps its true entry (REST); others take the previous
         # segment's exit. Fixpoint == the serial state trajectory.
-        en = jnp.concatenate([el[:, :, :1], zl[:, :, :-1]], axis=2)
+        en = jnp.concatenate([el[:, :1, :], zl[:, :-1, :]], axis=1)
         return from_logical(en), jnp.all(en == el)
 
     e0 = jnp.zeros((n_ops * SUBLANES, K), jnp.int32)
     import os
 
-    # Both loops bound the sweep count at G+2. The bound is unreachable
+    # Loop strategy (PADT_DYN_LOOP: hybrid | write | states; legacy
+    # PADT_DYN_STATES_ONLY=1 selects 'states'). All three compute the same
+    # entry-state fixpoint and render the audio from already-converged
+    # entries, so their outputs are bit-identical (tests/test_fusion.py
+    # asserts it in interpret mode); they differ only in walk/HBM cost:
+    #   states: k state walks to fixpoint + 1 output walk  (k+1 walks,
+    #           k+1 reads, 1 write)
+    #   write:  k full walks, writing audio every sweep    (k walks,
+    #           k reads, k writes)
+    #   hybrid: 1 state walk (prepass, no audio write, last op's gain path
+    #           skipped) + k-1 full walks                  (k walks,
+    #           k reads, k-1 writes) — strictly <= 'write' cost; default.
+    # All loops bound the sweep count at G+2. The bound is unreachable
     # margin, not a semantic cap: entries propagate at least one segment per
     # sweep (segment g's entry is exact once segments 0..g-1's exits are),
     # so the fixpoint lands in <= G sweeps and the `done` flag exits first.
     # It matters that it's unreachable: a cap-exit would return audio from
-    # one-iteration-stale entries on the write-every-sweep path but exact
+    # one-iteration-stale entries on the audio-writing paths but exact
     # audio on the states-only path (which runs a final output pass), and
-    # the two env-selected paths must stay bit-equal (ADVICE r4).
+    # the env-selected paths must stay bit-equal (ADVICE r4).
+    loop = os.environ.get("PADT_DYN_LOOP", "hybrid").lower()
     if os.environ.get("PADT_DYN_STATES_ONLY", "0") == "1":
+        loop = "states"
+    # Debug-only sweep cap for bench_dyn --parts (caps the while_loop
+    # iteration bound; output is WRONG when it truncates convergence —
+    # never set in production).
+    cap = int(os.environ.get("PADT_DYN_MAX_SWEEPS", "0")) or (G + 2)
+
+    def wcond(carry):
+        _, _, done, it = carry
+        return jnp.logical_and(jnp.logical_not(done), it < cap)
+
+    def wbody(carry):
+        e, _, _, it = carry
+        out, z = sweep_call(fscal, iscal, xk, e)
+        en, done = next_entries(e, z)
+        return en, out, done, it + 1
+
+    if loop == "states":
         # States-only loop + separate output pass: k+1 full automaton walks
-        # for k sweeps. Kept for A/B; the write-every-sweep loop below
-        # measured faster at the typical k=2 (BENCH_DYN_r04).
+        # for k sweeps. Kept for A/B (BENCH_DYN_r04).
         def cond(carry):
             _, done, it = carry
-            return jnp.logical_and(jnp.logical_not(done), it < G + 2)
+            return jnp.logical_and(jnp.logical_not(done), it < cap)
 
         def body(carry):
             e, _, it = carry
@@ -503,32 +579,36 @@ def dynamics_pallas_offline(params, x: jnp.ndarray,
         e_fix, _, _ = jax.lax.while_loop(
             cond, body, (e0, jnp.bool_(False), jnp.int32(0)))
         out, _ = sweep_call(fscal, iscal, xk, e_fix)
-    else:
-        # Write-every-sweep loop: the sweep that CONFIRMS convergence ran
-        # from the already-converged entries, so its audio output is the
-        # final answer — k walks total instead of k+1 (one full VPU walk
-        # and one signal read saved; the extra non-final writes cost the
-        # same bytes the dropped output pass would have read).
-        def cond(carry):
-            _, _, done, it = carry
-            return jnp.logical_and(jnp.logical_not(done), it < G + 2)
-
-        def body(carry):
-            e, _, _, it = carry
-            out, z = sweep_call(fscal, iscal, xk, e)
-            en, done = next_entries(e, z)
-            return en, out, done, it + 1
-
-        # first iteration peeled: the loop carry then starts from a real
-        # output buffer instead of a full-signal zeros fill (~one wasted
-        # HBM write per call at the flagship size)
+    elif loop == "write":
+        # Write-every-sweep loop (round-4 default, kept for A/B): first
+        # iteration peeled so the loop carry starts from a real output
+        # buffer instead of a full-signal zeros fill.
         out1, z1 = sweep_call(fscal, iscal, xk, e0)
         e1, done1 = next_entries(e0, z1)
         _, out, _, _ = jax.lax.while_loop(
-            cond, body, (e1, out1, done1, jnp.int32(1)))
+            wcond, wbody, (e1, out1, done1, jnp.int32(1)))
+    else:
+        # Hybrid (default, round 5): the FIRST sweep always runs from
+        # guessed entries whose audio is discarded unless it already
+        # confirms the fixpoint — so run it as the cheaper states-only
+        # prepass (no audio write, no last-op gain path), then render with
+        # write-every-sweep audio sweeps from the advanced entries. At the
+        # typical k=2 on real audio this is 1 cheap + 1 full walk and
+        # 2 reads + 1 write, vs 'write''s 2 full walks and 2 reads +
+        # 2 writes. The peeled audio sweep below runs even when the
+        # prepass already converged (audio must be rendered regardless),
+        # making the rare k=1 case cost the same 2 walks as 'write'.
+        z1 = state_call(fscal, iscal, xk, e0)
+        e1, _ = next_entries(e0, z1)
+        out2, z2 = sweep_call(fscal, iscal, xk, e1)
+        e2, done2 = next_entries(e1, z2)
+        _, out, _, _ = jax.lax.while_loop(
+            wcond, wbody, (e2, out2, done2, jnp.int32(2)))
 
-    out = out.reshape(L, Rp)[:, :R].reshape(L, C, G)
-    return jnp.moveaxis(out, 0, 2).reshape(C, Tp)[:, :T]
+    if use_relayout(C, T, G, L, K, R, Rp, interpret):
+        return time_major_unpack(out, C, T, G, L, interpret=interpret)
+    out = out.reshape(L, Rp)[:, :R].reshape(L, G, C)
+    return jax.lax.reshape(out, (C, Tp), dimensions=(2, 1, 0))[:, :T]
 
 
 def fast_effect(base: Effect, interpret: bool = False) -> Effect:

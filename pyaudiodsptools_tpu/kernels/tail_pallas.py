@@ -30,6 +30,7 @@ HardDistortion maps 0 -> ~0.95, EffectHardDistortion.py:38-40).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -91,6 +92,15 @@ def _plan_stages(effects):
             n_gain += 1
         else:
             fn = _MAP_FNS[type(p)]
+            if (isinstance(p, ws.SoftClipperParams)
+                    and os.environ.get("PADT_TAIL_FAST_POW", "0") == "1"):
+                # Opt-in: an explicit bounded-domain exp2/log2 pow
+                # (ws._pow01_fast) was A/B'd on chip and LOST to Mosaic's
+                # builtin pow lowering (tail standalone 5.37 vs 4.99 ms,
+                # BENCH_AB_r05 tail section) — the VPU's native
+                # transcendental path is already cheaper than a ~35-op
+                # polynomial. Kept selectable for future hardware.
+                fn = ws._softclip_fast
             leaves, treedef = jax.tree.flatten(p)
             stages.append(("map", fn, treedef, n_scal, len(leaves)))
             n_scal += len(leaves)

@@ -429,3 +429,25 @@ def test_lone_dynamics_wrapper_chain_matches_scan_chain():
         sf, bf = fast.step(sf, blocks[:, i])
         sp, bp = plain.step(sp, blocks[:, i])
         assert snr_db(np.asarray(bp), np.asarray(bf)) > 100.0
+
+
+@pytest.mark.parametrize("sig_name", ["bursty", "alternating", "silence"])
+def test_dyn_loop_strategies_bit_equal(monkeypatch, sig_name):
+    """The three offline sweep-loop strategies (hybrid prepass [default] /
+    write-every-sweep / states-only, PADT_DYN_LOOP) must produce
+    bit-identical audio: they compute the same entry fixpoint and always
+    render from converged entries — including the adversarial no-sync
+    'alternating' signal that drives the loop toward its serial worst
+    case, and 'silence' (k=1, prepass already converged)."""
+    cfg = EngineConfig(44100, 512)
+    comp = ops.compressor(cfg, -18.0, 0.6)
+    gate = ops.gate(cfg, -45.0, 0.1)
+    sig = dict(_signals(24000))[sig_name]
+    outs = {}
+    for loop in ("hybrid", "write", "states"):
+        monkeypatch.setenv("PADT_DYN_LOOP", loop)
+        outs[loop] = np.asarray(dynamics_pallas_offline(
+            [comp.params, gate.params], jnp.asarray(sig), segments=9,
+            interpret=True))
+    np.testing.assert_array_equal(outs["hybrid"], outs["write"])
+    np.testing.assert_array_equal(outs["hybrid"], outs["states"])

@@ -102,10 +102,13 @@ def test_dynamics_kernels_on_chip():
 
 
 @pytest.mark.tpu_smoke
-def test_fused_tail_on_chip():
+def test_fused_tail_on_chip(monkeypatch):
     from pyaudiodsptools_tpu import EngineConfig, ops
     from pyaudiodsptools_tpu.kernels.tail_pallas import fused_tail
 
+    # bit-equality vs the op path requires the generic pow on both sides
+    # (the fast-pow default is covered by test_fused_tail_fast_pow_on_chip)
+    monkeypatch.setenv("PADT_TAIL_FAST_POW", "0")
     cfg = EngineConfig(44100, 512)
     effs = [ops.delay(cfg, 150.0, 2), ops.tremolo(cfg, 0.3, 5.0),
             ops.softclipper(cfg, 0.44)]
@@ -121,12 +124,13 @@ def test_fused_tail_on_chip():
 
 
 @pytest.mark.tpu_smoke
-def test_fused_tail_mono_on_chip():
+def test_fused_tail_mono_on_chip(monkeypatch):
     """Mono (C=1, the reference's primary shape) rides the fused tail via
     internal row padding — real Mosaic lowering, not interpret mode."""
     from pyaudiodsptools_tpu import EngineConfig, ops
     from pyaudiodsptools_tpu.kernels.tail_pallas import fused_tail
 
+    monkeypatch.setenv("PADT_TAIL_FAST_POW", "0")  # see test_fused_tail_on_chip
     cfg = EngineConfig(44100, 512)
     effs = [ops.delay(cfg, 150.0, 2), ops.tremolo(cfg, 0.3, 5.0),
             ops.softclipper(cfg, 0.44)]
@@ -237,3 +241,68 @@ def test_quickstart_chain_lone_dynamics_on_chip():
     got = np.asarray(blk.combine_blocks(fast.render_blocks(blocks)))
     want = np.asarray(blk.combine_blocks(slow.render_blocks(blocks)))
     assert snr_db(want, got) > 90.0
+
+
+@pytest.mark.tpu_smoke
+def test_fused_tail_fast_pow_on_chip(monkeypatch):
+    """The opt-in fast-pow softclip (ws._pow01_fast — A/B'd and defaulted
+    OFF, BENCH_AB_r05) on real Mosaic lowering, vs a float64 numpy oracle
+    of the same chain — the bit-surgery exp2/log2 must keep lowering and
+    holding parity far above the 60 dB contract while it stays selectable."""
+    from pyaudiodsptools_tpu import EngineConfig, ops
+    from pyaudiodsptools_tpu.kernels.tail_pallas import fused_tail
+
+    monkeypatch.setenv("PADT_TAIL_FAST_POW", "1")
+    cfg = EngineConfig(44100, 512)
+    effs = [ops.delay(cfg, 150.0, 2), ops.tremolo(cfg, 0.3, 5.0),
+            ops.softclipper(cfg, 0.44)]
+    fused = fused_tail(effs)
+    from pyaudiodsptools_tpu.kernels.tail_pallas import _plan_stages
+
+    map_fns = [st[1].__name__ for st in _plan_stages(effs)[0]
+               if st[0] == "map"]
+    assert "_softclip_fast" in map_fns, map_fns
+    rng = np.random.default_rng(17)
+    blocks = jnp.asarray((rng.standard_normal((2, 24, 512)) * 0.4
+                          ).astype(np.float32))
+    got = np.asarray(fused.offline(fused.params, blocks))
+    # float64 oracle through the op math (delay/tremolo exact in f32; the
+    # softclip pow in float64)
+    want = blocks
+    for e in effs[:-1]:
+        want = e.offline(e.params, want)
+    w = np.asarray(want, np.float64)
+    drive = 0.44 + 1.0
+    neg = w < 0
+    a = np.clip(np.abs(w), -1.0, 1.0)
+    a = -1.0 * np.abs(a - 1.0) ** drive + 1.0
+    want64 = np.where(neg, -a, a)
+    assert snr_db(want64.astype(np.float32), got) > 100.0
+
+
+@pytest.mark.tpu_smoke
+def test_spec_dynamics_relayout_on_chip():
+    """C=64 engages the single-pass relayout kernels (kernels/relayout.py)
+    around the speculative sweep — real Mosaic lowering of the tile-block
+    DMA + in-VMEM transposes, bit-equal to the serial kernel. T is chosen
+    ragged (not a multiple of 128 or the segment length) so the xtail
+    redirect, the closing chunk, and the 128-wide tail patch all execute."""
+    from pyaudiodsptools_tpu import EngineConfig, ops
+    from pyaudiodsptools_tpu.kernels import relayout as rl
+    from pyaudiodsptools_tpu.kernels.dynamics_pallas import (
+        dynamics_pallas, dynamics_pallas_offline)
+    from pyaudiodsptools_tpu.ops import dynamics as dyn
+
+    cfg = EngineConfig(44100, 512)
+    comp = ops.compressor(cfg, -18.0, 0.6, 3.1, 30.1)
+    gate = ops.gate(cfg, -45.0, 0.1, 3.1, 200.1)
+    C, T = 64, 44100 * 3 + 331
+    x = jnp.asarray(_burst(C, T, seed=23))
+
+    st = dyn.init_state(comp.params, (C,))
+    st, mid = dynamics_pallas(comp.params, st, x)
+    st2 = dyn.init_state(gate.params, (C,))
+    _, want = dynamics_pallas(gate.params, st2, mid)
+
+    got = dynamics_pallas_offline([comp.params, gate.params], x)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
