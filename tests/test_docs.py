@@ -135,7 +135,7 @@ def test_readme_perf_figures_match_artifacts():
     # headline chain @ B=4096 (driver capture). The artifact name in the
     # row is authoritative — load whichever BENCH_r{N} the row cites.
     val, art = row("BASELINE config 4")
-    bench = _artifact(re.search(r"`(BENCH_r\d+\.json)`", art).group(1))
+    bench = _artifact(re.search(r"`(BENCH(?:_PRE)?_r\d+\.json)`", art).group(1))
     bench = bench.get("parsed", bench)  # driver captures wrap the JSON line
     _close(_num(r"\*\*([\d.]+) Gsamples/s\*\*", val),
            bench["value"] / 1e9)
