@@ -105,3 +105,36 @@ def test_spec_dynamics_rides_relayout_interpret():
     p = float(np.sum(np.asarray(want) ** 2))
     snr = 10 * np.log10(p / max(float(np.sum(err ** 2)), 1e-30))
     assert snr > 100.0, snr
+
+
+@pytest.mark.parametrize("C", [8, 128])
+def test_roundtrip_other_channel_widths(C):
+    """P = 128 // C varies the per-step descriptor fan-out (16 at C=8,
+    1 at C=128); both ends of the range must round-trip exactly,
+    including a ragged tail."""
+    T = 128 * 64 * 3 + 533
+    segments = 6
+    G, L, Tp, R, Rp, K = _geom(C, T, segments)
+    assert rl.use_relayout(C, T, G, L, K, R, Rp), (C, G, L, K)
+    rng = np.random.default_rng(C)
+    x = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
+    tm = rl.time_major_pack(x, G, L, K, interpret=True)
+    back = rl.time_major_unpack(tm, C, T, G, L, interpret=True)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(back))
+
+
+def test_roundtrip_exact_multiple_no_tail():
+    """T an exact multiple of L: the closing chunk and patch overlap
+    already-written identical data (idempotence path)."""
+    C = 64
+    G, L = 5, 128 * 20
+    T = G * L
+    R = C * G
+    Rp = -(-R // 1024) * 1024
+    K = Rp // 8
+    assert rl.use_relayout(C, T, G, L, K, R, Rp)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
+    tm = rl.time_major_pack(x, G, L, K, interpret=True)
+    back = rl.time_major_unpack(tm, C, T, G, L, interpret=True)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(back))
