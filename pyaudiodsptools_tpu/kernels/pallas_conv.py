@@ -665,6 +665,197 @@ def vmem_estimate_bytes(n: int, P: int) -> int:
     return 4 * block + _const_bytes(n, P) + 2 * block
 
 
+
+
+def _kernel_dma_union(n1, n2, P, halo_rows, win_rows, grows, rho, tail0u,
+                      U, math, n_consts, n_spec, *refs):
+    """Union-DMA variant of _kernel_dma (the default no-pad path): one grid
+    step's 2P overlapping windows are CONSECUTIVE segments, so their union
+    is one contiguous (U, n2) row range — loaded with ONE descriptor
+    instead of 2P, and the 2P wrap-free results store as ONE contiguous
+    (2P, grows, n2) block. Measured motivation (round 5, BENCH_CONV_r05):
+    at the flagship geometry a window transfer is ~128 KB = ~0.3 us at
+    copy bandwidth, the same order as a descriptor's issue cost, so the
+    per-window kernel spent ~4 ms of its 9.8 ms wall on DMA issue
+    (DMA-only variant: 6.0 ms vs ~1.7 ms of pure data). The union cuts
+    descriptors 4x per direction and reads ~20% fewer bytes (shared
+    halos). Window p's operand is the union rows [p*win_rows, +n1), and
+    the whole union head-rolls by rho at the channel's first step, which
+    reconstructs the virtual pre-signal zeros for EVERY window at once.
+    Windows past the signal end load the union from the zero-extended
+    tail buffer (tail0u = signal_rows - U; unions never straddle it)."""
+    consts = refs[:n_consts]
+    spec_refs = refs[n_consts:n_consts + n_spec]
+    x_hbm = refs[n_consts + n_spec]
+    t_hbm = refs[n_consts + n_spec + 1]
+    out_hbm, xu, zu, lsem, ssem = refs[n_consts + n_spec + 2:]
+    ng = pl.num_programs(1)
+    total = pl.num_programs(0) * ng
+    i = pl.program_id(0) * ng + pl.program_id(1)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    def _s_u(j):
+        return jax.lax.rem(j, ng) * (2 * P * win_rows) - rho
+
+    def start_load(j, s):
+        c = jax.lax.div(j, ng)
+        s_u = _s_u(j)
+        use_tail = s_u > tail0u
+
+        def from_main():
+            pltpu.make_async_copy(
+                x_hbm.at[c, pl.ds(jnp.maximum(s_u, 0), U), :],
+                xu.at[s], lsem.at[s]).start()
+
+        def from_tail():
+            pltpu.make_async_copy(
+                t_hbm.at[c, pl.ds(s_u - tail0u, U), :],
+                xu.at[s], lsem.at[s]).start()
+
+        pl.when(jnp.logical_not(use_tail))(from_main)
+        pl.when(use_tail)(from_tail)
+
+    def wait_load(j, s):
+        # equal byte counts either way; wait via the always-in-bounds tail
+        # view (clip keeps the unused view constructible)
+        c = jax.lax.div(j, ng)
+        ts = jnp.clip(_s_u(j) - tail0u, 0, U)
+        pltpu.make_async_copy(
+            t_hbm.at[c, pl.ds(ts, U), :], xu.at[s], lsem.at[s]).wait()
+
+    def store_dma(j, s):
+        c = jax.lax.div(j, ng)
+        base = jax.lax.rem(j, ng) * 2 * P
+        return pltpu.make_async_copy(
+            zu.at[s], out_hbm.at[c, pl.ds(base, 2 * P)], ssem.at[s])
+
+    @pl.when(i == 0)
+    def _warmup():
+        start_load(i, slot)
+
+    @pl.when(i + 1 < total)
+    def _prefetch():
+        start_load(i + 1, nslot)
+
+    wait_load(i, slot)
+
+    if rho:
+        # channel's first union started at row 0 instead of -rho: rolling
+        # down by the static rho and zeroing the head reconstructs
+        # x[s_u + r] (zeros before the signal) for the WHOLE union
+        @pl.when(pl.program_id(1) == 0)
+        def _head_fix():
+            blk = xu[slot]
+            rolled = pltpu.roll(blk, shift=rho, axis=0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (U, n2), 0)
+            xu[slot] = jnp.where(rows < rho, 0.0, rolled)
+
+    # window p = union rows [p*win_rows, +n1); column slabs are
+    # [P real | P imag], pairs minor: slab order 0,2,..,1,3,..
+    xv = xu[slot]
+    order = [2 * q for q in range(P)] + [2 * q + 1 for q in range(P)]
+    X = jnp.concatenate(
+        [xv[p * win_rows:p * win_rows + n1, :] for p in order], axis=1)
+    zr, zi = math(X, consts, spec_refs)
+
+    # zu[slot] was last written at step i-2; its store must have drained
+    @pl.when(i >= 2)
+    def _drain_prev():
+        store_dma(i - 2, slot).wait()
+
+    for p in range(2 * P):
+        src = zr if p % 2 == 0 else zi
+        q = p // 2
+        zu[slot, p] = src[halo_rows:, q * n2:(q + 1) * n2]
+
+    store_dma(i, slot).start()
+
+    @pl.when((i + 1 == total) & (i >= 1))
+    def _drain_last_prev():
+        store_dma(i - 1, nslot).wait()
+
+    @pl.when(i + 1 == total)
+    def _drain_last():
+        store_dma(i, slot).wait()
+
+
+
+
+def _kernel_dma_union_autoout(n1, n2, P, halo_rows, win_rows, grows, rho,
+                              tail0u, U, math, n_consts, n_spec, *refs):
+    """Union kernel with the STORE side on Pallas's automatic output
+    pipeline (BlockSpec per (c, g) block) instead of manual DMA — A/B
+    experiment for the manual-DMA bandwidth floor (see _kernel_dma_union's
+    docstring; selected by PADT_CONV_AUTOOUT=1)."""
+    consts = refs[:n_consts]
+    spec_refs = refs[n_consts:n_consts + n_spec]
+    x_hbm = refs[n_consts + n_spec]
+    t_hbm = refs[n_consts + n_spec + 1]
+    o_ref, xu, lsem = refs[n_consts + n_spec + 2:]
+    ng = pl.num_programs(1)
+    total = pl.num_programs(0) * ng
+    i = pl.program_id(0) * ng + pl.program_id(1)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    def _s_u(j):
+        return jax.lax.rem(j, ng) * (2 * P * win_rows) - rho
+
+    def start_load(j, s):
+        c = jax.lax.div(j, ng)
+        s_u = _s_u(j)
+        use_tail = s_u > tail0u
+
+        def from_main():
+            pltpu.make_async_copy(
+                x_hbm.at[c, pl.ds(jnp.maximum(s_u, 0), U), :],
+                xu.at[s], lsem.at[s]).start()
+
+        def from_tail():
+            pltpu.make_async_copy(
+                t_hbm.at[c, pl.ds(s_u - tail0u, U), :],
+                xu.at[s], lsem.at[s]).start()
+
+        pl.when(jnp.logical_not(use_tail))(from_main)
+        pl.when(use_tail)(from_tail)
+
+    def wait_load(j, s):
+        c = jax.lax.div(j, ng)
+        ts = jnp.clip(_s_u(j) - tail0u, 0, U)
+        pltpu.make_async_copy(
+            t_hbm.at[c, pl.ds(ts, U), :], xu.at[s], lsem.at[s]).wait()
+
+    @pl.when(i == 0)
+    def _warmup():
+        start_load(i, slot)
+
+    @pl.when(i + 1 < total)
+    def _prefetch():
+        start_load(i + 1, nslot)
+
+    wait_load(i, slot)
+
+    if rho:
+        @pl.when(pl.program_id(1) == 0)
+        def _head_fix():
+            blk = xu[slot]
+            rolled = pltpu.roll(blk, shift=rho, axis=0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (U, n2), 0)
+            xu[slot] = jnp.where(rows < rho, 0.0, rolled)
+
+    xv = xu[slot]
+    order = [2 * q for q in range(P)] + [2 * q + 1 for q in range(P)]
+    X = jnp.concatenate(
+        [xv[p * win_rows:p * win_rows + n1, :] for p in order], axis=1)
+    zr, zi = math(X, consts, spec_refs)
+
+    for p in range(2 * P):
+        src = zr if p % 2 == 0 else zi
+        q = p // 2
+        o_ref[0, p] = src[halo_rows:, q * n2:(q + 1) * n2]
+
+
 def auto_pairs(n: int, requested: int = 4) -> int:
     """Largest pairs-per-step whose estimated peak live set fits
     VMEM_BUDGET (headroom under the kernels' VMEM_LIMIT)."""
@@ -745,6 +936,8 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
     rho = (lead - delta) // n2
     nopad = (T % n2 == 0 and T // n2 >= n1 and 0 <= rho <= min(win_rows, n1 - 1)
              and (delta == 0 or (slack is not None and delta <= slack)))
+    U = (2 * P - 1) * win_rows + n1  # union rows per grid step
+    union = nopad and T // n2 >= U   # one-descriptor union loads/stores
     if nopad:
         if delta:
             k = np.arange(n // 2 + 1)
@@ -754,9 +947,14 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
             hr, hi = packed_rfft[0], packed_rfft[1]
             packed_rfft = jnp.stack([hr * cr - hi * si, hi * cr + hr * si])
         x3 = x.reshape(C, T // n2, n2)
-        tail0 = T // n2 - n1
-        tbuf = jnp.concatenate(
-            [x3[:, tail0:, :], jnp.zeros((C, n1, n2), x.dtype)], axis=1)
+        if union:
+            tail0 = T // n2 - U
+            tbuf = jnp.concatenate(
+                [x3[:, tail0:, :], jnp.zeros((C, U, n2), x.dtype)], axis=1)
+        else:
+            tail0 = T // n2 - n1
+            tbuf = jnp.concatenate(
+                [x3[:, tail0:, :], jnp.zeros((C, n1, n2), x.dtype)], axis=1)
     else:
         L = max((S - 1) * seg_len + n, lead + T)
         L = -(-L // n2) * n2
@@ -771,20 +969,54 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
     const2 = lambda shape: pl.BlockSpec(shape, lambda c, g: (0, 0),
                                         memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    autoout = _os.environ.get("PADT_CONV_AUTOOUT", "0") == "1"
+    if union and autoout:
+        out = pl.pallas_call(
+            partial(_kernel_dma_union_autoout, n1, n2, P, halo_rows,
+                    win_rows, grows, rho, tail0, U, math, len(carrays),
+                    n_spec),
+            grid=(C, S // (2 * P)),
+            in_specs=(cspecs + [const2(spec_shape)] * n_spec
+                      + [any_spec, any_spec]),
+            out_specs=pl.BlockSpec((1, 2 * P, grows, n2),
+                                   lambda c, g: (c, g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, S, grows, n2), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, U, n2), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
+            interpret=interpret,
+        )(*carrays, *spec_arrays, x3, tbuf)
+        return out.reshape(C, S * seg_len)[:, :T]
+    if union:
+        kern = partial(_kernel_dma_union, n1, n2, P, halo_rows, win_rows,
+                       grows, rho, tail0, U, math, len(carrays), n_spec)
+        scratch = [
+            pltpu.VMEM((2, U, n2), jnp.float32),
+            pltpu.VMEM((2, 2 * P, grows, n2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = partial(_kernel_dma, n1, n2, P, halo_rows, win_rows, grows,
+                       rho, tail0, math, len(carrays), n_spec)
+        scratch = [
+            pltpu.VMEM((2, n1, 2 * P * n2), jnp.float32),
+            pltpu.VMEM((2, n1, 2 * P * n2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2 * P)),
+            pltpu.SemaphoreType.DMA((2, 2 * P)),
+        ]
     out = pl.pallas_call(
-        partial(_kernel_dma, n1, n2, P, halo_rows, win_rows, grows, rho,
-                tail0, math, len(carrays), n_spec),
+        kern,
         grid=(C, S // (2 * P)),
         in_specs=(cspecs + [const2(spec_shape)] * n_spec
                   + [any_spec, any_spec]),
         out_specs=any_spec,
         out_shape=jax.ShapeDtypeStruct((C, S, grows, n2), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, n1, 2 * P * n2), jnp.float32),
-            pltpu.VMEM((2, n1, 2 * P * n2), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2 * P)),
-            pltpu.SemaphoreType.DMA((2, 2 * P)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,

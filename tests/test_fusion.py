@@ -451,3 +451,41 @@ def test_dyn_loop_strategies_bit_equal(monkeypatch, sig_name):
             interpret=True))
     np.testing.assert_array_equal(outs["hybrid"], outs["write"])
     np.testing.assert_array_equal(outs["hybrid"], outs["states"])
+
+
+# --- union-DMA windowed conv (round 5) ------------------------------------
+
+def _assert_union(B, C, nb, klen, shift, slack):
+    """Geometry must actually select _kernel_dma_union (signal long enough
+    that rows >= U), then match the numpy oracle."""
+    from pyaudiodsptools_tpu.kernels.pallas_conv import _plan, auto_pairs
+
+    halo, seg = 2, 6
+    n = (halo + seg) * B
+    n1, n2 = _plan(n)
+    P = auto_pairs(n, 2)
+    win_rows = seg * B // n2
+    U = (2 * P - 1) * win_rows + n1
+    assert nb * B // n2 >= U, "test geometry must engage the union path"
+    _segmented_case(B, C, nb, klen, shift, slack=slack)
+
+
+@pytest.mark.parametrize("shift", [0, 1371, 9219])
+def test_segmented_union_dma(shift):
+    """Long signal engages the one-descriptor union loads/stores; the
+    head-roll (rho), the tail-buffer redirect, and the sub-row spectral
+    delta all ride the union path. 40 engine blocks at B=2048: rows=640
+    >= U=416."""
+    halo = 2
+    klen = 1000
+    _assert_union(2048, 2, 40, klen, shift,
+                  slack=halo * 2048 - (klen - 1))
+
+
+def test_segmented_union_dma_ragged_tail():
+    """Signal length that pads S to the pairs-per-step multiple: the last
+    union loads entirely from the zero-extended tail buffer."""
+    halo = 2
+    klen = 700
+    _assert_union(2048, 3, 41, klen, 2047,
+                  slack=halo * 2048 - (klen - 1))

@@ -306,3 +306,39 @@ def test_spec_dynamics_relayout_on_chip():
 
     got = dynamics_pallas_offline([comp.params, gate.params], x)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+@pytest.mark.tpu_smoke
+def test_segmented_conv_union_dma_on_chip():
+    """Signal long enough to engage the union-DMA kernel (rows >= U) at the
+    flagship cascade geometry (halo 18 / seg 46 @ 512-unit planning,
+    n=32768, radix-2 path): one-descriptor union loads + one-block stores,
+    real Mosaic lowering vs the numpy oracle, including the head-roll
+    (rho > 0 via a large shift) and the tail-buffer redirect."""
+    from pyaudiodsptools_tpu.kernels.pallas_conv import (_plan, auto_pairs,
+                                                         segmented_conv_fused)
+    from pyaudiodsptools_tpu.ops.fft_filter import pack_spectrum
+
+    B, halo, seg = 512, 18, 46
+    n = (halo + seg) * B  # 32768
+    n1, n2 = _plan(n)
+    P = auto_pairs(n, 2)
+    win_rows = seg * B // n2
+    U = (2 * P - 1) * win_rows + n1
+    nb, eb = 28, 4096  # 28 engine blocks of 4096
+    rows = nb * eb // n2
+    assert rows >= U, (rows, U)
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((2, nb * eb)).astype(np.float32)
+    klen = 6143
+    shift = 3071
+    k = rng.standard_normal(klen) * 0.02
+    spec = pack_spectrum(np.fft.rfft(np.concatenate([k, np.zeros(n - klen)])))
+    got = np.asarray(segmented_conv_fused(
+        jnp.asarray(x), spec, B, halo, seg, shift,
+        slack=halo * B - (klen - 1)))
+    ref = np.stack([np.convolve(x[c], k)[: nb * eb] for c in range(2)])
+    ref = np.concatenate([np.zeros((2, shift)), ref[:, : nb * eb - shift]],
+                         axis=1)
+    assert snr_db(ref.astype(np.float32), got) > 95.0
