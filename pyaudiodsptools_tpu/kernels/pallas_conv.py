@@ -201,7 +201,8 @@ def _cmul_right_hi(ar, ai, F, conj: bool):
             _mm_hi(ar, f2i[:]) + _mm_hi(ai, f2r[:]))
 
 
-def _conv_math(n1, n2, P, X, F1, F2, twr, twi, hr, hi):
+def _conv_math(n1, n2, P, X, F1, F2, twr, twi, hr, hi,
+               stage_ref=None):
     """All DFT stages on a VMEM-resident block X (n1, 2*P*n2) whose column
     halves are [real | imag] parts, pairs minor. ``F1``/``F2`` are the
     stage DFT matrices: pre-split bf16 part tuples on the bf16x3 tier, f32
@@ -216,12 +217,26 @@ def _conv_math(n1, n2, P, X, F1, F2, twr, twi, hr, hi):
     else:
         cmul_l, cmul_r = _cmul_left_hi, _cmul_right_hi
 
+    def stage(r, i_):
+        # Optional VMEM round-trip between pipeline stages: materializing
+        # the intermediates in scratch shrinks the math's register live
+        # set so Mosaic can overlap the window DMA with the matmul stages
+        # (PADT_CONV_STAGE_SCRATCH A/B; see BENCH_CONV_r05.json).
+        if stage_ref is None:
+            return r, i_
+        rows = r.shape[0]
+        stage_ref[pl.ds(0, rows), pl.ds(0, h)] = r
+        stage_ref[pl.ds(0, rows), pl.ds(h, h)] = i_
+        return (stage_ref[pl.ds(0, rows), pl.ds(0, h)],
+                stage_ref[pl.ds(0, rows), pl.ds(h, h)])
+
     # stage 1: contract n1
     yr, yi = cmul_l(F1, X[:, :h], X[:, h:], conj=False)
 
     # twiddle (pair-tiled (n1, h))
     cr = yr * twr[:] - yi * twi[:]
     ci = yr * twi[:] + yi * twr[:]
+    cr, ci = stage(cr, ci)
 
     # stage 2: contract n2 (rows (n1*P, n2))
     xr, xi = cmul_r(cr.reshape(n1 * P, n2), ci.reshape(n1 * P, n2), F2,
@@ -230,6 +245,8 @@ def _conv_math(n1, n2, P, X, F1, F2, twr, twi, hr, hi):
     # spectrum multiply (h tiled to rows (n1*P, n2))
     ur = xr * hr[:] - xi * hi[:]
     ui = xr * hi[:] + xi * hr[:]
+    ur, ui = stage(ur.reshape(n1, h), ui.reshape(n1, h))
+    ur, ui = ur.reshape(n1 * P, n2), ui.reshape(n1 * P, n2)
 
     # inverse stage 2: multiply by conj(F2)
     vr, vi = cmul_r(ur, ui, F2, conj=True)
@@ -289,7 +306,7 @@ def _dif_np(n: int, pairs: int):
 
 
 def _conv_math_r2(n1, n2, m1, m2, P, X, F1, F2, twm_r, twm_i, dif_r, dif_i,
-                  hrE, hiE, hrO, hiO):
+                  hrE, hiE, hrO, hiO, stage_ref=None):
     """Radix-2 wrapper around two size-m _conv_math cores (m = n/2).
 
     X: (n1, 2*P*n2) with [real | imag] column halves. The size-m cores see
@@ -306,8 +323,10 @@ def _conv_math_r2(n1, n2, m1, m2, P, X, F1, F2, twm_r, twm_i, dif_r, dif_i,
     bi = dr * dif_i[:] + di * dif_r[:]
     A = jnp.concatenate([ar, ai], axis=1)
     B = jnp.concatenate([br, bi], axis=1)
-    er, ei = _conv_math(m1, m2, P, A, F1, F2, twm_r, twm_i, hrE, hiE)
-    orr, oi = _conv_math(m1, m2, P, B, F1, F2, twm_r, twm_i, hrO, hiO)
+    er, ei = _conv_math(m1, m2, P, A, F1, F2, twm_r, twm_i, hrE, hiE,
+                        stage_ref=stage_ref)
+    orr, oi = _conv_math(m1, m2, P, B, F1, F2, twm_r, twm_i, hrO, hiO,
+                         stage_ref=stage_ref)
     # recombine with conj(W): Re(w' o) = or*wr + oi*wi; Im = oi*wr - or*wi
     wor = orr * dif_r[:] + oi * dif_i[:]
     woi = oi * dif_r[:] - orr * dif_i[:]
@@ -364,10 +383,11 @@ def _const_inputs(n: int, P: int, grid_ndim: int):
     if not use_radix2(n):
         arrays, specs, pack = _const_inputs_flat(n, P, grid_ndim)
 
-        def math(X, consts, spec_refs):
+        def math(X, consts, spec_refs, stage_ref=None):
             F1, F2, twr, twi = pack(consts)
             return _conv_math(n1, n2, P, X, F1, F2, twr[:], twi[:],
-                              spec_refs[0], spec_refs[1])
+                              spec_refs[0], spec_refs[1],
+                              stage_ref=stage_ref)
 
         return arrays, specs, math, 2
 
@@ -382,12 +402,13 @@ def _const_inputs(n: int, P: int, grid_ndim: int):
     arrays = arrays + [jnp.asarray(dif_r), jnp.asarray(dif_i)]
     specs = specs + [dspec, dspec]
 
-    def math(X, consts, spec_refs):
+    def math(X, consts, spec_refs, stage_ref=None):
         F1, F2, twr, twi = pack(consts[:n_core])
         dr, di = consts[n_core], consts[n_core + 1]
         return _conv_math_r2(n1, n2, m1, m2, P, X, F1, F2, twr[:], twi[:],
                              dr, di, spec_refs[0], spec_refs[1],
-                             spec_refs[2], spec_refs[3])
+                             spec_refs[2], spec_refs[3],
+                             stage_ref=stage_ref)
 
     return arrays, specs, math, 4
 
@@ -668,7 +689,7 @@ def vmem_estimate_bytes(n: int, P: int) -> int:
 
 
 def _kernel_dma_union(n1, n2, P, halo_rows, win_rows, grows, rho, tail0u,
-                      U, math, n_consts, n_spec, *refs):
+                      U, math, n_consts, n_spec, use_stage, *refs):
     """Union-DMA variant of _kernel_dma (the default no-pad path): one grid
     step's 2P overlapping windows are CONSECUTIVE segments, so their union
     is one contiguous (U, n2) row range — loaded with ONE descriptor
@@ -688,7 +709,12 @@ def _kernel_dma_union(n1, n2, P, halo_rows, win_rows, grows, rho, tail0u,
     spec_refs = refs[n_consts:n_consts + n_spec]
     x_hbm = refs[n_consts + n_spec]
     t_hbm = refs[n_consts + n_spec + 1]
-    out_hbm, xu, zu, lsem, ssem = refs[n_consts + n_spec + 2:]
+    if use_stage:
+        (out_hbm, xu, zu, lsem, ssem,
+         stage_ref) = refs[n_consts + n_spec + 2:]
+    else:
+        out_hbm, xu, zu, lsem, ssem = refs[n_consts + n_spec + 2:]
+        stage_ref = None
     ng = pl.num_programs(1)
     total = pl.num_programs(0) * ng
     i = pl.program_id(0) * ng + pl.program_id(1)
@@ -757,7 +783,7 @@ def _kernel_dma_union(n1, n2, P, halo_rows, win_rows, grows, rho, tail0u,
     order = [2 * q for q in range(P)] + [2 * q + 1 for q in range(P)]
     X = jnp.concatenate(
         [xv[p * win_rows:p * win_rows + n1, :] for p in order], axis=1)
-    zr, zi = math(X, consts, spec_refs)
+    zr, zi = math(X, consts, spec_refs, stage_ref=stage_ref)
 
     # zu[slot] was last written at step i-2; its store must have drained
     @pl.when(i >= 2)
@@ -992,14 +1018,18 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
         )(*carrays, *spec_arrays, x3, tbuf)
         return out.reshape(C, S * seg_len)[:, :T]
     if union:
+        use_stage = _os.environ.get("PADT_CONV_STAGE_SCRATCH", "0") == "1"
         kern = partial(_kernel_dma_union, n1, n2, P, halo_rows, win_rows,
-                       grows, rho, tail0, U, math, len(carrays), n_spec)
+                       grows, rho, tail0, U, math, len(carrays), n_spec,
+                       use_stage)
         scratch = [
             pltpu.VMEM((2, U, n2), jnp.float32),
             pltpu.VMEM((2, 2 * P, grows, n2), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        if use_stage:
+            scratch.append(pltpu.VMEM((n1, 2 * P * n2), jnp.float32))
     else:
         kern = partial(_kernel_dma, n1, n2, P, halo_rows, win_rows, grows,
                        rho, tail0, math, len(carrays), n_spec)
