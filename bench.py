@@ -144,6 +144,9 @@ def main() -> None:
             "by_block_size": {str(k): v for k, v in by_block.items()},
             "best_block_size": max(by_block,
                                    key=lambda k: by_block[k]["samples_per_s"]),
+            "settings": __import__(
+                "pyaudiodsptools_tpu.core.settings",
+                fromlist=["snapshot"]).snapshot(),
         },
     }
     print(json.dumps(result))
