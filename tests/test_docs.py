@@ -141,6 +141,10 @@ def test_readme_perf_figures_match_artifacts():
            bench["value"] / 1e9)
     _close(_num(r"([\d,]+)× realtime", val.replace(",", "")),
            bench["detail"]["realtime_factor_per_chip"], rel=0.05)
+    by_bs = bench["detail"].get("by_block_size", {})
+    if "pure-chained" in val and "4096" in by_bs:
+        _close(_num(r"no perturb overhead\): \*\*([\d.]+)\*\*", val),
+               by_bs["4096"]["pure_chain_samples_per_s"] / 1e9)
 
     # B=512 row vs the block-size sweep artifact
     val, art = row("B=512")
@@ -148,6 +152,9 @@ def test_readme_perf_figures_match_artifacts():
                                  art).group(1))
     by = blocks["by_block_size"]
     _close(_num(r"\*\*([\d.]+) Gsamples/s\*\*", val), by["512"]["gsamples_per_s"])
+    if "pure-chained" in val and "512" in by_bs:
+        _close(_num(r"pure-chained ([\d.]+)", val),
+               by_bs["512"]["pure_chain_samples_per_s"] / 1e9)
     _close(_num(r"B=1024: ([\d.]+)", art), by["1024"]["gsamples_per_s"])
     _close(_num(r"B=4096: ([\d.]+)", art), by["4096"]["gsamples_per_s"])
 
