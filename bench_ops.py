@@ -272,6 +272,13 @@ def main() -> None:
     checksum = jax.jit(lambda o: jnp.max(jnp.abs(o)))
     tiny = jax.jit(lambda o: jnp.max(jnp.abs(o[..., :1, :8])))
     _SYNC_RTT[0] = _measure_rtt(tiny, blocks)
+    # Every timed region wraps the op in `b + eps*o` (the data-chaining
+    # perturbation) - itself a signal-sized XLA pass. Its cost is measured
+    # here and REPORTED (calibration.perturb_pass_ms) rather than
+    # subtracted, so row values stay comparable with earlier rounds; true
+    # op cost ~= row ms - perturb_pass_ms (per whole render).
+    perturb = jax.jit(lambda p, b, o, e: b + e * o)
+    perturb_dt = _timed(perturb, (None, blocks, blocks, eps), checksum)
     for name, eff in effects.items():
         fn = jax.jit(lambda p, b, o, e, _f=eff.offline: _f(p, b + e * o))
         dt = _timed(fn, (eff.params, blocks, blocks, eps), checksum)
@@ -303,6 +310,8 @@ def main() -> None:
                             "hbm_bytes_per_s": pk.hbm_bytes_per_s,
                             "vpu_f32_flops": pk.vpu_f32_flops}
         payload["calibration"] = _calibrate(pk)
+        payload["calibration"]["perturb_pass_ms"] = round(
+            perturb_dt * 1e3, 3)
     if args.chain:
         chain_cfg = EngineConfig(sample_rate=44100, block_size=4096)
         nbc = -(-int(30.0 * 44100) // 4096)
