@@ -729,14 +729,19 @@ def _kernel_dma_union(n1, n2, P, halo_rows, win_rows, grows, rho, tail0u,
         s_u = _s_u(j)
         use_tail = s_u > tail0u
 
+        # all starts are provably sublane-aligned (win_rows, rho, U and
+        # the signal's row count are 8-multiples - enforced by the union
+        # eligibility conditions); the explicit hints are required at
+        # n2 > 128 where Mosaic's affine prover gives up (reverb, r5)
         def from_main():
             pltpu.make_async_copy(
-                x_hbm.at[c, pl.ds(jnp.maximum(s_u, 0), U), :],
+                x_hbm.at[c, pl.ds(pl.multiple_of(jnp.maximum(s_u, 0), 8),
+                                  U), :],
                 xu.at[s], lsem.at[s]).start()
 
         def from_tail():
             pltpu.make_async_copy(
-                t_hbm.at[c, pl.ds(s_u - tail0u, U), :],
+                t_hbm.at[c, pl.ds(pl.multiple_of(s_u - tail0u, 8), U), :],
                 xu.at[s], lsem.at[s]).start()
 
         pl.when(jnp.logical_not(use_tail))(from_main)
@@ -746,7 +751,7 @@ def _kernel_dma_union(n1, n2, P, halo_rows, win_rows, grows, rho, tail0u,
         # equal byte counts either way; wait via the always-in-bounds tail
         # view (clip keeps the unused view constructible)
         c = jax.lax.div(j, ng)
-        ts = jnp.clip(_s_u(j) - tail0u, 0, U)
+        ts = pl.multiple_of(jnp.clip(_s_u(j) - tail0u, 0, U), 8)
         pltpu.make_async_copy(
             t_hbm.at[c, pl.ds(ts, U), :], xu.at[s], lsem.at[s]).wait()
 
@@ -833,14 +838,19 @@ def _kernel_dma_union_autoout(n1, n2, P, halo_rows, win_rows, grows, rho,
         s_u = _s_u(j)
         use_tail = s_u > tail0u
 
+        # all starts are provably sublane-aligned (win_rows, rho, U and
+        # the signal's row count are 8-multiples - enforced by the union
+        # eligibility conditions); the explicit hints are required at
+        # n2 > 128 where Mosaic's affine prover gives up (reverb, r5)
         def from_main():
             pltpu.make_async_copy(
-                x_hbm.at[c, pl.ds(jnp.maximum(s_u, 0), U), :],
+                x_hbm.at[c, pl.ds(pl.multiple_of(jnp.maximum(s_u, 0), 8),
+                                  U), :],
                 xu.at[s], lsem.at[s]).start()
 
         def from_tail():
             pltpu.make_async_copy(
-                t_hbm.at[c, pl.ds(s_u - tail0u, U), :],
+                t_hbm.at[c, pl.ds(pl.multiple_of(s_u - tail0u, 8), U), :],
                 xu.at[s], lsem.at[s]).start()
 
         pl.when(jnp.logical_not(use_tail))(from_main)
@@ -943,10 +953,35 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
     B = block_size
     n = (halo + seg) * B
     n1, n2 = _plan(n)
-    P = auto_pairs(n, pairs_per_step)
     C, T = x.shape
     seg_len = seg * B
     assert B % n2 == 0 and n1 * n2 == n
+    win_rows_pre = seg_len // n2
+    # Pairs-per-step: on the union-DMA path SMALLER steps win (P=1: 8.65 ms
+    # vs P=2: 9.76 at the flagship cascade — BENCH_CONV_r05 P sweep; the
+    # per-step math's register pressure is what blocks DMA/compute
+    # overlap), so union-eligible geometries default to P=1; the
+    # per-window path keeps the r4-swept default. PADT_CONV_PAIRS
+    # overrides for A/Bs.
+    p_env = int(_os.environ.get("PADT_CONV_PAIRS", "0"))
+    _delta = shift % n2
+    _rho = (halo * B + shift - _delta) // n2
+    _nopad_pre = (T % n2 == 0 and T // n2 >= n1
+                  and 0 <= _rho <= min(win_rows_pre, n1 - 1)
+                  and (_delta == 0
+                       or (slack is not None and _delta <= slack)))
+    # union alignment: every union row start is g*(2P*win_rows) - rho, so
+    # rho must be sublane-aligned (Mosaic proves divisibility by 8 for
+    # dim-1 DMA starts; reverb's lead produced an unaligned rho - caught
+    # on chip in r5)
+    union_possible = (_nopad_pre and T // n2 >= win_rows_pre + n1
+                      and _rho % 8 == 0 and (T // n2) % 8 == 0)
+    if p_env:
+        P = auto_pairs(n, p_env)
+    elif union_possible:
+        P = 1
+    else:
+        P = auto_pairs(n, pairs_per_step)
 
     n_seg = -(-T // seg_len)
     S = -(-n_seg // (2 * P)) * (2 * P)  # segments padded per channel
@@ -963,7 +998,9 @@ def segmented_conv_fused(x: jnp.ndarray, packed_rfft: jnp.ndarray,
     nopad = (T % n2 == 0 and T // n2 >= n1 and 0 <= rho <= min(win_rows, n1 - 1)
              and (delta == 0 or (slack is not None and delta <= slack)))
     U = (2 * P - 1) * win_rows + n1  # union rows per grid step
-    union = nopad and T // n2 >= U   # one-descriptor union loads/stores
+    # one-descriptor union loads/stores (alignment: see union_possible)
+    union = (nopad and T // n2 >= U and rho % 8 == 0
+             and (T // n2) % 8 == 0)
     if nopad:
         if delta:
             k = np.arange(n // 2 + 1)

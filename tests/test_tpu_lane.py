@@ -342,3 +342,27 @@ def test_segmented_conv_union_dma_on_chip():
     ref = np.concatenate([np.zeros((2, shift)), ref[:, : nb * eb - shift]],
                          axis=1)
     assert snr_db(ref.astype(np.float32), got) > 95.0
+
+
+def test_segmented_conv_union_n2_256_on_chip():
+    """Union-DMA at an n2=256 geometry (the reverb plan: halo 3 / seg 13
+    @4096, shift 0): Mosaic's affine prover needs the explicit sublane
+    hints here (r5: reverb was the first geometry to fail without them),
+    so this case pins the hinted lowering against the numpy oracle."""
+    from pyaudiodsptools_tpu.kernels.pallas_conv import (_plan,
+                                                         segmented_conv_fused)
+    from pyaudiodsptools_tpu.ops.fft_filter import pack_spectrum
+
+    B, halo, seg = 4096, 3, 13
+    n = (halo + seg) * B  # 65536 -> plan (256, 256)
+    assert _plan(n) == (256, 256)
+    nb = 28
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal((2, nb * B)).astype(np.float32)
+    klen = 9000
+    k = rng.standard_normal(klen) * 0.01
+    spec = pack_spectrum(np.fft.rfft(np.concatenate([k, np.zeros(n - klen)])))
+    got = np.asarray(segmented_conv_fused(
+        jnp.asarray(x), spec, B, halo, seg, 0))
+    ref = np.stack([np.convolve(x[c], k)[: nb * B] for c in range(2)])
+    assert snr_db(ref.astype(np.float32), got) > 95.0
