@@ -41,6 +41,10 @@ REGISTRY: tuple[Setting, ...] = (
     Setting("PADT_CONV_RADIX2", "1", "trace", "kernels.pallas_conv",
             "Radix-2 DIF outer split for eligible conv sizes (default ON;"
             " +4.4% chain, BENCH_AB_r04). '0' restores the flat 4-step."),
+    Setting("PADT_CONV_PAIRS", "0 (auto)", "trace", "kernels.pallas_conv",
+            "Override conv pairs-per-step. Auto: 1 on union-eligible"
+            " geometries (smaller per-step math overlaps DMA better -"
+            " BENCH_CONV_r05 P sweep), the caller's request elsewhere."),
     Setting("PADT_CONV_AUTOOUT", "0", "trace", "kernels.pallas_conv",
             "Union-DMA conv variant that stores through Pallas's automatic"
             " output pipeline instead of manual DMA (bit-equal, within"
